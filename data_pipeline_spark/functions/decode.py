@@ -1,0 +1,141 @@
+"""Change-record decode: raw envelope → typed columns.
+
+The reference parses each change record with per-record Python (statement
+builders under data_pipeline/sql/, message deserialization under
+data_pipeline/stream/ — repo-relative public paths, SURVEY.md §0/§2 T1).
+Here decode is columnar: one Arrow batch in, one pandas `read_json` C-parser
+call over the whole batch, one Arrow batch out — zero per-row Python on the
+data path (BASELINE.json north-rule requirement).
+
+Two implementations with identical semantics:
+
+- ``decode_events``      mapInPandas (Arrow/pandas UDF) — the default, per
+                         the north rule; handles rename-coalescing and
+                         type-widening from the schema version.
+- ``decode_events_sql``  pure Catalyst ``from_json`` — JVM-side, used as a
+                         cross-check and a bench comparison point.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.schemas import decoded_schema
+
+_PD_CAST = {
+    "int": "Int32",
+    "long": "Int64",
+    "integer": "Int32",
+    "bigint": "Int64",
+    "double": "float64",
+    "float": "float32",
+}
+
+
+def _decode_batch(
+    pdf: pd.DataFrame,
+    table_fields: list[tuple[str, str]],
+    renames: dict[str, list[str]],
+) -> pd.DataFrame:
+    """Decode one Arrow batch. table_fields = [(name, simple_type), ...] for
+    the current schema version (excluding key columns); renames maps a
+    current column name to its historical names (old payloads carry those)."""
+    out = pd.DataFrame(index=pdf.index)
+    out["lsn"] = pdf["lsn"]
+    out["op"] = pdf["op"]
+    out["conv_id"] = pdf["conv_id"]
+    out["turn_idx"] = pdf["turn_idx"]
+
+    has_payload = pdf["payload"].notna()
+    payloads = pdf.loc[has_payload, "payload"]
+    if len(payloads):
+        # One C-level JSON parse for the whole batch (vectorized decode).
+        parsed = pd.read_json(
+            io.StringIO("[" + ",".join(payloads.tolist()) + "]"), orient="records"
+        )
+        parsed.index = payloads.index
+    else:
+        parsed = pd.DataFrame(index=payloads.index)
+
+    for name, typ in table_fields:
+        if name in ("conv_id", "turn_idx"):
+            continue
+        src = parsed[name] if name in parsed else pd.Series(None, index=parsed.index, dtype="object")
+        for old in renames.get(name, []):
+            if old in parsed:
+                src = src.combine_first(parsed[old])
+        col = src.reindex(pdf.index)
+        if typ == "timestamp":
+            col = pd.to_datetime(col, format="%Y-%m-%dT%H:%M:%S", errors="coerce")
+        elif typ in _PD_CAST:
+            col = col.astype(_PD_CAST[typ])
+        out[name] = col
+    return out
+
+
+def decode_events(
+    raw: DataFrame,
+    table_schema: T.StructType,
+    renames: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Arrow-vectorized decode of DML change records (op != 'DDL').
+
+    Returns a DataFrame with schema ``decoded_schema(table_schema)``:
+    (lsn, op, <table columns>). Key columns come from the envelope and are
+    cast to the current schema types (covers the turn_idx widen).
+    """
+    renames = renames or {}
+    out_schema = decoded_schema(table_schema)
+    fields = [(f.name, f.dataType.simpleString()) for f in table_schema.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf, fields, renames)
+
+    dml = raw.where(F.col("op") != "DDL")
+    return dml.mapInPandas(fn, schema=out_schema)
+
+
+def decode_events_sql(
+    raw: DataFrame,
+    table_schema: T.StructType,
+    renames: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Catalyst-only decode via ``from_json`` — same output contract as
+    ``decode_events``; stays entirely inside whole-stage codegen."""
+    renames = renames or {}
+    # from_json needs every historical payload key in the parse schema.
+    parse_fields = []
+    for f in table_schema.fields:
+        if f.name in ("conv_id", "turn_idx"):
+            continue
+        typ = T.StringType() if isinstance(f.dataType, T.TimestampType) else f.dataType
+        parse_fields.append(T.StructField(f.name, typ, True))
+        for old in renames.get(f.name, []):
+            parse_fields.append(T.StructField(old, T.StringType(), True))
+    parsed = F.from_json(F.col("payload"), T.StructType(parse_fields))
+
+    cols = [F.col("lsn"), F.col("op"), F.col("conv_id")]
+    key_type = dict((f.name, f.dataType) for f in table_schema.fields)
+    cols.append(F.col("turn_idx").cast(key_type["turn_idx"]).alias("turn_idx"))
+    for f in table_schema.fields:
+        if f.name in ("conv_id", "turn_idx"):
+            continue
+        expr = F.col(f"j.{f.name}")
+        for old in renames.get(f.name, []):
+            expr = F.coalesce(expr, F.col(f"j.{old}").cast(f.dataType))
+        if isinstance(f.dataType, T.TimestampType):
+            expr = F.to_timestamp(expr, "yyyy-MM-dd'T'HH:mm:ss")
+        cols.append(expr.alias(f.name))
+    return (
+        raw.where(F.col("op") != "DDL")
+        .withColumn("j", parsed)
+        .select(*cols)
+    )

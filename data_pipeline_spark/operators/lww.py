@@ -1,0 +1,62 @@
+"""Last-writer-wins dedup by LSN — the engine's core ordering operator.
+
+The reference guarantees per-key apply order by being strictly sequential
+(single applier process executing DML in LSN order — data_pipeline/applier/
+applier.py, SURVEY.md §2 T5). With full-row images that ordering reduces to
+"the max-LSN op per key wins", which parallelizes perfectly: a window
+`row_number() OVER (PARTITION BY key ORDER BY lsn DESC)` per micro-batch.
+
+Skew: a hot conv_id (north rule: one key can carry 30% of a batch) makes one
+window partition giant. The salted two-phase variant first reduces within
+(key, salt) groups — salt = pmod(xxhash64(lsn), S) spreads a hot key over S
+reducers — then takes the global top-1 over the (at most S per key) survivors.
+AQE skew-join splitting is the safety net; salting makes it explicit.
+
+Tie-break (LSNs are unique in a real log; defined anyway so the operator is
+total): delete > update > insert, then commit ts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def op_rank_expr(op_col: str = "op") -> Column:
+    return (
+        F.when(F.col(op_col) == "D", F.lit(2))
+        .when(F.col(op_col) == "U", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _order_cols(lsn_col: str) -> list[Column]:
+    return [F.col(lsn_col).desc(), op_rank_expr().desc()]
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    lsn_col: str = "lsn",
+    salt: int | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key: the max-(lsn, op_rank) one.
+
+    salt=None → single window (one shuffle on the keys).
+    salt=S    → two-phase: pre-reduce within (keys, salt) buckets, then the
+                global top-1; use for hot-key-skewed batches.
+    """
+    key_cols = [F.col(k) for k in keys]
+    if salt and salt > 1:
+        salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt)))
+        w1 = Window.partitionBy(*key_cols, F.col("_salt")).orderBy(*_order_cols(lsn_col))
+        phase1 = (
+            salted.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_salt")
+        )
+        df = phase1
+    w = Window.partitionBy(*key_cols).orderBy(*_order_cols(lsn_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,183 @@
+"""Deterministic change-event feed: generator + readers.
+
+The generator synthesises the binlog/WAL-style feed the engine tails
+(FIXTURES.md §A2): insert/update/delete (+ optional DDL) over the transcripts
+table, totally ordered by LSN, Zipf-distributed keys with an optional hot
+conv_id receiving 30% of all events. It is the sandbox stand-in for the
+reference's extract path (reference: data_pipeline/extractor/
+oracle_cdc_extractor.py, mssql_cdc_extractor.py — repo-relative public paths,
+see SURVEY.md §0) — fully vectorized numpy/pandas, seeded, no external data.
+
+Readers: batch (`spark.read`) and streaming (`spark.readStream` file source —
+an append-only directory of chunk files stands in for the Kafka topic, since
+the sandbox has no Kafka jar; the production swap is `format("kafka")`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["search", "python", "browser", "calculator"])
+
+# DDL timeline used by the schema-evolution fixture (FIXTURES.md §A1):
+# positions are fractions of the feed at which each DDL fires.
+DDL_TIMELINE = (
+    (0.30, {"action": "add_column", "name": "tokens", "type": "int"}),
+    (0.55, {"action": "rename_column", "old": "tool", "new": "tool_name"}),
+    (0.80, {"action": "widen_type", "name": "turn_idx", "to": "long"}),
+)
+
+
+@dataclass
+class FeedSpec:
+    n_events: int = 100_000
+    n_convs: int = 2_000
+    max_turns: int = 40
+    seed: int = 42
+    hot_key: bool = False  # one conv_id receives ~30% of all events
+    with_ddl: bool = False  # inject the DDL_TIMELINE events
+    chunk_size: int = 20_000
+    p_update: float = 0.25
+    p_delete: float = 0.049
+    base_ts: str = "2026-01-01"
+    ddl_lsns: dict[int, dict] = field(default_factory=dict)  # filled by generator
+
+
+def _zipf_conv_ids(rng: np.random.Generator, spec: FeedSpec) -> np.ndarray:
+    """Conversation index per event: Zipf(1.1) over n_convs; optional hot key."""
+    ranks = np.arange(1, spec.n_convs + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+    conv = rng.choice(spec.n_convs, size=spec.n_events, p=probs)
+    if spec.hot_key:
+        # dedicated hot conversation (index n_convs, outside the Zipf range)
+        hot = rng.random(spec.n_events) < 0.30
+        conv = np.where(hot, spec.n_convs, conv)
+    return conv
+
+
+def generate_feed_pandas(spec: FeedSpec) -> pd.DataFrame:
+    """Generate the full feed as one pandas DataFrame (lsn ascending).
+
+    Columns match CHANGE_EVENT_SCHEMA. Deterministic for a given spec.
+    """
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+
+    conv = _zipf_conv_ids(rng, spec)
+    turn = rng.integers(0, spec.max_turns, size=n)
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+
+    # op: first occurrence of a (conv, turn) key must be an INSERT; later
+    # events on the key are U/D per probabilities (updates/deletes only ever
+    # reference previously inserted keys — FIXTURES.md §A2 rule).
+    u = rng.random(n)
+    op = np.where(u < spec.p_delete, "D", np.where(u < spec.p_delete + spec.p_update, "U", "U"))
+    key = conv.astype(np.int64) * 1_000 + turn.astype(np.int64)
+    first = ~pd.Series(key).duplicated().to_numpy()
+    op = np.where(first, "I", op)
+
+    ts = pd.Timestamp(spec.base_ts, tz=None) + pd.to_timedelta(lsn, unit="s")
+
+    df = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "ts": ts,
+            "conv_id": pd.Series(conv).map(lambda c: f"conv-{c:06d}").astype("string"),
+            "turn_idx": pd.array(turn, dtype="Int32"),  # nullable: DDL rows hold null
+            "payload": pd.Series([None] * n, dtype="object"),
+        }
+    )
+
+    # DDL injection: replace the event at each timeline position with a DDL row.
+    spec.ddl_lsns = {}
+    renamed_at = None
+    tokens_at = None
+    if spec.with_ddl:
+        for frac, descriptor in DDL_TIMELINE:
+            i = int(frac * n)
+            df.loc[i, ["op", "conv_id"]] = ["DDL", None]
+            df.loc[i, "turn_idx"] = None
+            df.loc[i, "payload"] = json.dumps(descriptor)
+            spec.ddl_lsns[int(df.loc[i, "lsn"])] = descriptor
+            if descriptor["action"] == "rename_column":
+                renamed_at = i
+            elif descriptor["action"] == "add_column":
+                tokens_at = i
+
+    # Payload (vectorized string assembly — content is quote-free by design
+    # so no JSON escaping is needed; text is the byte-equality invariant).
+    dml = (df["op"] == "I") | (df["op"] == "U")
+    idx = df.index[dml]
+    role = ROLES[turn[idx] % 4]
+    text = (
+        "turn " + pd.Series(turn[idx].astype(str), index=idx)
+        + " of " + df.loc[idx, "conv_id"].astype(str)
+        + " rev " + pd.Series(lsn[idx].astype(str), index=idx)
+    )
+    tool_name = TOOLS[lsn[idx] % 4]
+    is_tool = role == "tool"
+    ts_str = pd.Series(ts[idx].strftime("%Y-%m-%dT%H:%M:%S"), index=idx)
+
+    # Events after the rename DDL carry the NEW column name in their payload
+    # (the source emits images under the schema in force at event time).
+    after_rename = (
+        idx.to_numpy() > renamed_at if renamed_at is not None else np.zeros(len(idx), dtype=bool)
+    )
+    tool_key = np.where(after_rename, "tool_name", "tool")
+    payload = (
+        '{"role":"' + pd.Series(role, index=idx)
+        + '","text":"' + text
+        + '","ts":"' + ts_str + '"'
+    )
+    tool_frag = np.where(is_tool, ',"' + pd.Series(tool_key, index=idx) + '":"' + pd.Series(tool_name, index=idx) + '"', "")
+    payload = payload + pd.Series(tool_frag, index=idx)
+    if tokens_at is not None:
+        has_tokens = idx.to_numpy() > tokens_at
+        tok_vals = (lsn[idx] % 512).astype(str)
+        tok_frag = np.where(has_tokens, ',"tokens":' + pd.Series(tok_vals, index=idx), "")
+        payload = payload + pd.Series(tok_frag, index=idx)
+    payload = payload + "}"
+    df.loc[idx, "payload"] = payload
+    return df
+
+
+def generate_feed(out_dir: str, spec: FeedSpec) -> list[str]:
+    """Write the feed as ordered parquet chunk files (one per log segment)."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = generate_feed_pandas(spec)
+    paths = []
+    n_chunks = max(1, math.ceil(len(df) / spec.chunk_size))
+    for c in range(n_chunks):
+        part = df.iloc[c * spec.chunk_size : (c + 1) * spec.chunk_size]
+        p = os.path.join(out_dir, f"chunk-{c:06d}.parquet")
+        # microsecond timestamps: Spark's TimestampType is µs-precision
+        part.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        paths.append(p)
+    return paths
+
+
+def read_feed_batch(spark, feed_dir: str):
+    """Batch read of the whole feed (used by the batch replay path)."""
+    return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed_dir)
+
+
+def read_feed_stream(spark, feed_dir: str, max_files_per_trigger: int = 8):
+    """Streaming read: ordered chunk files = log segments; offsets live in
+    the Spark checkpoint (reference recovery point: the audit DB watermark —
+    data_pipeline/audit/*; ours: checkpoint + idempotent merge)."""
+    return (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )

@@ -1,0 +1,170 @@
+"""The ingest loop: change feed → decode → dedup → MERGE, exactly once.
+
+This is the engine's equivalent of the reference's `extract` + `apply`
+console entry points collapsed into one Structured Streaming job
+(data_pipeline/extract.py, data_pipeline/apply.py — SURVEY.md §3): the
+streaming file source replaces Kafka transport, the Spark checkpoint replaces
+the audit-DB recovery point, `foreachBatch` is the commit-point batching
+(reference `commitpoint` arg, SURVEY.md §2 T6), and the control table is the
+process_control/process_control_detail lineage (§2 T9).
+
+Exactly-once = at-least-once replay (checkpoint re-delivers the in-flight
+micro-batch after a crash) × idempotent sink (LakehouseTable.merge skips
+batch_id ≤ last committed). Control rows are written only when a merge
+actually commits, so the audit shows each batch applied exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.functions.decode import decode_events, decode_events_sql
+from data_pipeline_spark.operators.lww import lww_dedup
+from data_pipeline_spark.plans.table_format import LakehouseTable
+from data_pipeline_spark.sources.feed import read_feed_batch, read_feed_stream
+
+
+class IngestJob:
+    def __init__(
+        self,
+        table_path: str,
+        control_path: str,
+        salt: int | None = None,
+        decoder: str = "pandas",  # "pandas" (Arrow UDF, north-rule default) | "sql" (from_json)
+    ):
+        self.table = LakehouseTable(table_path)
+        self.control_path = control_path
+        self.salt = salt
+        self.decoder = decoder
+        os.makedirs(control_path, exist_ok=True)
+
+    # ------------------------------------------------------------- one batch
+    def apply_batch(self, spark: SparkSession, batch_id: int, raw: DataFrame) -> dict:
+        t0 = time.monotonic()
+
+        # DDL branch (reference: applier DDL routing, SURVEY.md §2 T3/T8).
+        # DDL rows are rare and tiny — driver-side metadata ops, in LSN order.
+        ddl_rows = (
+            raw.where(F.col("op") == "DDL").select("lsn", "payload").collect()
+        )
+        if ddl_rows:
+            descriptors = [json.loads(r.payload) for r in sorted(ddl_rows, key=lambda r: r.lsn)]
+            self.table.apply_ddl(descriptors)
+
+        schema = self.table.schema_struct()
+        renames = self.table.renames()
+        decode = decode_events if self.decoder == "pandas" else decode_events_sql
+        decoded = decode(raw, schema, renames)
+        deduped = lww_dedup(decoded, salt=self.salt).persist()
+        try:
+            # Per-partition lineage/metrics BEFORE the merge consumes the frame.
+            metrics = (
+                deduped.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count("*").alias("rows_applied"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+                    F.max("lsn").alias("watermark_lsn"),
+                )
+                .collect()
+            )
+            result = self.table.merge(spark, batch_id, deduped)
+        finally:
+            deduped.unpersist()
+
+        if not result.get("skipped"):
+            self._write_control(batch_id, metrics, wall_ms=int((time.monotonic() - t0) * 1000))
+        return result
+
+    def _write_control(self, batch_id: int, metrics, wall_ms: int) -> None:
+        counts = [m.rows_applied for m in metrics] or [0]
+        avg = sum(counts) / len(counts)
+        skew = (max(counts) / avg) if avg else 1.0
+        rows = pd.DataFrame(
+            {
+                "batch_id": pd.Series([batch_id] * max(len(metrics), 1), dtype="int64"),
+                "partition_id": pd.Series(
+                    [m.partition_id for m in metrics] or [0], dtype="int32"
+                ),
+                "rows_applied": pd.Series(counts, dtype="int64"),
+                "rows_deleted": pd.Series(
+                    [m.rows_deleted or 0 for m in metrics] or [0], dtype="int64"
+                ),
+                "watermark_lsn": pd.Series(
+                    [m.watermark_lsn for m in metrics] or [None], dtype="Int64"
+                ),
+                "skew_ratio": pd.Series([skew] * max(len(metrics), 1), dtype="float64"),
+                "wall_ms": pd.Series([wall_ms] * max(len(metrics), 1), dtype="int64"),
+                "committed_at": pd.Series(
+                    [datetime.now(timezone.utc)] * max(len(metrics), 1)
+                ),
+            }
+        )
+        # Control rows are a handful per batch — driver-side parquet append
+        # (unique file per commit; readable as one dataset by spark.read).
+        rows.to_parquet(
+            os.path.join(self.control_path, f"batch-{batch_id:08d}-{uuid.uuid4().hex[:8]}.parquet"),
+            index=False,
+            coerce_timestamps="us",  # Spark TimestampType is µs-precision
+            allow_truncated_timestamps=True,
+        )
+
+    # ------------------------------------------------------------- streaming
+    def start_stream(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 8,
+        available_now: bool = True,
+        fail_after_batches: int | None = None,  # test hook: simulate a crash
+    ):
+        """Run the streaming ingest. available_now=True drains the feed and
+        stops (Trigger.AvailableNow) — the replay/bench mode; False runs
+        continuously tailing the directory."""
+        applied = {"n": 0}
+
+        def handle(df: DataFrame, batch_id: int) -> None:
+            if fail_after_batches is not None and applied["n"] >= fail_after_batches:
+                raise RuntimeError("injected crash (test hook)")
+            self.apply_batch(df.sparkSession, int(batch_id), df)
+            applied["n"] += 1
+
+        stream = read_feed_stream(spark, feed_dir, max_files_per_trigger)
+        writer = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 8,
+    ) -> None:
+        q = self.start_stream(
+            spark, feed_dir, checkpoint_dir, max_files_per_trigger, available_now=True
+        )
+        q.awaitTermination()
+
+    # ----------------------------------------------------------- batch replay
+    def replay_batch(self, spark: SparkSession, feed_dir: str, batch_id: int = 0) -> dict:
+        """Whole-feed batch replay (no streaming machinery) — the minimum
+        slice (SURVEY.md §7 M1) and the initsync-style bulk path."""
+        raw = read_feed_batch(spark, feed_dir)
+        return self.apply_batch(spark, batch_id, raw)
+
+    def read_control(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.control_path)

@@ -1,0 +1,14 @@
+"""Shared fixtures: one SparkSession per test session (local, small)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cores=4, shuffle_partitions=8)
+    yield s
+    s.stop()
