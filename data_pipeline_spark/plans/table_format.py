@@ -147,6 +147,7 @@ class LakehouseTable:
                 "last_batch_id": -1,
                 "schema_id": 0,
                 "n_buckets": n_buckets,
+                "watermark_lsn": 0,
                 "files": [],  # [{path, bucket, schema_id}]
                 "stats": {},
                 "committed_at": time.time(),
@@ -303,10 +304,37 @@ class LakehouseTable:
         cur_schema = self._load_schema(snap["schema_id"])
         data_cols = [f["name"] for f in cur_schema["fields"]]
 
+        # LSN recovery filter (reference T4: skip records with lsn ≤ last
+        # applied — SURVEY.md §2). Makes redelivered chunks (at-least-once
+        # transport) no-ops without tombstones: the feed is log-ordered
+        # across batches, so anything at or below the table watermark has
+        # already taken effect.
+        watermark = snap.get("watermark_lsn") or 0
+        changes = changes.where(F.col("lsn") > F.lit(watermark))
+
         changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
-        # Affected-bucket pruning: only these buckets get rewritten. The
-        # distinct-bucket list is tiny (≤ n_buckets ints) — safe to collect.
-        affected = {r[0] for r in changes.select("_bucket").distinct().collect()}
+        # Affected-bucket pruning (tiny collect: ≤ n_buckets ints + max lsn).
+        head = changes.agg(
+            F.collect_set("_bucket").alias("b"), F.max("lsn").alias("m")
+        ).first()
+        affected = set(head["b"])
+        new_watermark = max(watermark, head["m"] or 0)
+        if not affected:
+            # fully-duplicate batch: metadata-only commit advancing batch_id
+            new = {
+                **{k: snap[k] for k in ("schema_id", "n_buckets", "files")},
+                "snapshot_id": snap["snapshot_id"] + 1,
+                "parent": snap["snapshot_id"],
+                "kind": "merge",
+                "batch_id": batch_id,
+                "last_batch_id": batch_id,
+                "watermark_lsn": watermark,
+                "stats": {"affected_buckets": 0},
+                "committed_at": time.time(),
+            }
+            self._commit(new)
+            return {"skipped": False, "batch_id": batch_id, "snapshot_id": new["snapshot_id"],
+                    "affected_buckets": 0, "rows_filtered_by_watermark": True}
 
         existing = self._read_buckets(spark, snap, affected)
         chg = changes.select(
@@ -336,6 +364,7 @@ class LakehouseTable:
             "last_batch_id": batch_id,
             "schema_id": snap["schema_id"],
             "n_buckets": n_buckets,
+            "watermark_lsn": new_watermark,
             "files": carried + new_entries,
             "stats": {"affected_buckets": len(affected)},
             "committed_at": time.time(),

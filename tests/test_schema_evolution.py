@@ -1,0 +1,103 @@
+"""M5: schema evolution — add / rename / widen as metadata-only commits
+(SURVEY.md §2.3 rule 3; reference DDL replication semantics, §2 T8)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_pipeline_spark.oracle import reduce_feed
+from data_pipeline_spark.plans.table_format import LakehouseTable
+from data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+from data_pipeline_spark.sources.feed import FeedSpec, generate_feed, generate_feed_pandas
+from data_pipeline_spark.streaming.ingest import IngestJob
+
+SPEC = FeedSpec(n_events=15_000, n_convs=300, seed=42, chunk_size=3_000, with_ddl=True)
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("efeed")
+    generate_feed(str(d), SPEC)
+    return str(d)
+
+
+def _replay_streaming(spark, tmp_path, feed_dir):
+    tbl = str(tmp_path / "t")
+    LakehouseTable(tbl).create(TRANSCRIPT_SCHEMA, n_buckets=16)
+    job = IngestJob(tbl, str(tmp_path / "ctl"))
+    job.run_to_completion(spark, feed_dir, str(tmp_path / "cp"), max_files_per_trigger=2)
+    return LakehouseTable(tbl)
+
+
+def test_evolution_end_to_end(spark, feed_dir, tmp_path):
+    table = _replay_streaming(spark, tmp_path, feed_dir)
+    # final schema reflects the DDL timeline
+    schema = table.schema_struct()
+    names = [f.name for f in schema.fields]
+    assert "tokens" in names and "tool_name" in names and "tool" not in names
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["turn_idx"] == "bigint"
+
+    actual = (
+        table.read(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    expected = reduce_feed(generate_feed_pandas(SPEC))
+    assert actual["text"].tolist() == expected["text"].tolist()
+    # renames preserve data: tool_name column equals oracle's coalesced view
+    exp_tool = [None if pd.isna(t) else t for t in expected["tool_name"]]
+    assert actual["tool_name"].tolist() == exp_tool
+    # rows last written before the add show null tokens; after, the value
+    exp_tokens = [None if pd.isna(t) else int(t) for t in expected["tokens"]]
+    act_tokens = [None if pd.isna(t) else int(t) for t in actual["tokens"]]
+    assert act_tokens == exp_tokens
+    assert any(t is None for t in act_tokens) and any(t is not None for t in act_tokens)
+
+
+def test_ddl_metadata_only_and_time_travel(spark, tmp_path):
+    tbl = LakehouseTable(str(tmp_path / "t2"))
+    tbl.create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, None)], schema=TRANSCRIPT_SCHEMA
+    )
+    tbl.overwrite(spark, df)
+    snap_before = tbl.current_snapshot()
+    tbl.apply_ddl([
+        {"action": "add_column", "name": "tokens", "type": "int"},
+        {"action": "rename_column", "old": "tool", "new": "tool_name"},
+        {"action": "widen_type", "name": "turn_idx", "to": "long"},
+    ])
+    snap_after = tbl.current_snapshot()
+    # metadata-only: no data files were rewritten
+    assert snap_after["files"] == snap_before["files"]
+    out = tbl.read(spark).toPandas()
+    assert out.loc[0, "text"] == "hello"
+    assert pd.isna(out.loc[0, "tokens"])
+    assert "tool_name" in out.columns
+    # time travel: the old snapshot still reads with the old schema
+    old = tbl.read(spark, snapshot_id=snap_before["snapshot_id"]).toPandas()
+    assert "tool" in old.columns and "tokens" not in old.columns
+
+
+def test_illegal_widen_rejected(spark, tmp_path):
+    tbl = LakehouseTable(str(tmp_path / "t3"))
+    tbl.create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    with pytest.raises(ValueError, match="illegal widen"):
+        tbl.apply_ddl([{"action": "widen_type", "name": "text", "to": "long"}])
+
+
+def test_ddl_replay_idempotent(spark, tmp_path):
+    """Crash between DDL apply and merge commit → DDL re-applied on replay
+    must be a no-op (exactly-once under at-least-once delivery)."""
+    tbl = LakehouseTable(str(tmp_path / "t4"))
+    tbl.create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    ddls = [
+        {"action": "add_column", "name": "tokens", "type": "int"},
+        {"action": "rename_column", "old": "tool", "new": "tool_name"},
+        {"action": "widen_type", "name": "turn_idx", "to": "long"},
+    ]
+    tbl.apply_ddl(ddls)
+    sid = tbl.current_snapshot()["schema_id"]
+    fields1 = tbl._load_schema(sid)["fields"]
+    tbl.apply_ddl(ddls)  # replay
+    fields2 = tbl._load_schema(tbl.current_snapshot()["schema_id"])["fields"]
+    assert fields1 == fields2
