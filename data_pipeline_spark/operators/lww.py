@@ -32,8 +32,11 @@ def op_rank_expr(op_col: str = "op") -> Column:
     )
 
 
-def _order_cols(lsn_col: str) -> list[Column]:
-    return [F.col(lsn_col).desc(), op_rank_expr().desc()]
+def _order_cols(df: DataFrame, lsn_col: str) -> list[Column]:
+    cols = [F.col(lsn_col).desc()]
+    if "op" in df.columns:
+        cols.append(op_rank_expr().desc())
+    return cols
 
 
 def lww_dedup(
@@ -51,12 +54,12 @@ def lww_dedup(
     key_cols = [F.col(k) for k in keys]
     if salt and salt > 1:
         salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt)))
-        w1 = Window.partitionBy(*key_cols, F.col("_salt")).orderBy(*_order_cols(lsn_col))
+        w1 = Window.partitionBy(*key_cols, F.col("_salt")).orderBy(*_order_cols(df, lsn_col))
         phase1 = (
             salted.withColumn("_rn", F.row_number().over(w1))
             .where(F.col("_rn") == 1)
             .drop("_rn", "_salt")
         )
         df = phase1
-    w = Window.partitionBy(*key_cols).orderBy(*_order_cols(lsn_col))
+    w = Window.partitionBy(*key_cols).orderBy(*_order_cols(df, lsn_col))
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
