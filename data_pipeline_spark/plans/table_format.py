@@ -1,34 +1,47 @@
-"""Copy-on-write lakehouse table with an atomic JSON commit log.
+"""Lakehouse table with an atomic JSON commit log: MOR deltas + COW merge.
 
 The sandbox ships no Iceberg/Delta jars, so Iceberg semantics are emulated
 (SURVEY.md §0): atomic snapshot commits, field-id-based schema evolution
-(add / rename / type-widen), time travel by snapshot id, and bucket-pruned
-copy-on-write MERGE. The public surface (`create / read / merge / apply_ddl /
-overwrite`) is deliberately the shape of Iceberg's — on a cluster with the
-Iceberg runtime, `merge` becomes a single `MERGE INTO ... WHEN MATCHED ...`
-and `apply_ddl` becomes `ALTER TABLE` statements; nothing else changes.
+(add / rename / type-widen), time travel by snapshot id, bucketed layout.
+The public surface (`create / read / merge / apply_ddl / overwrite /
+compact`) is deliberately the shape of Iceberg's — with the Iceberg runtime
+present, `merge` becomes `MERGE INTO` (COW) or an equality-delete write
+(MOR), and `apply_ddl` becomes `ALTER TABLE`; nothing else changes.
 
-Layout (all paths relative to the table root):
+Two merge strategies, chosen at `create` (Iceberg's copy-on-write vs
+merge-on-read, same trade-off):
 
-    _meta/version-hint.txt        name of the current snapshot file; updated
-                                  by atomic rename (POSIX) — crash-safe; an
-                                  orphaned snapshot json is simply unreachable
-    _meta/snapshot-<n>.json       {snapshot_id, parent, kind, batch_id,
-                                   last_batch_id, schema_id, files, stats}
-    _meta/schema-<k>.json         {schema_id, fields:[{id,name,type,former_names}]}
-    data/s<n>/_bucket=<b>/*.parquet   files written by snapshot n
+- **mor** (default, the CDC-ingest design): a merge writes ONLY the deduped
+  changeset — including DELETE tombstones — as a delta layer. O(batch) per
+  commit, no read of existing data; the price is read-side reconcile
+  (last-writer-wins over base ∪ deltas), bounded by automatic compaction
+  every `compact_every` delta commits. At 10^10 events this is the only
+  viable shape: a COW merge is O(table) per batch.
+- **cow**: classic copy-on-write — read affected buckets, reconcile, rewrite.
+  Best for read-heavy tables with rare updates.
 
-Data files carry the engine column ``_lsn`` (last writer's LSN per row) so
-merges reconcile by LSN; files are bucketed by ``pmod(xxhash64(conv_id), B)``
-so a merge rewrites only affected buckets (the reference applies DML row-by-
-row against a PK index — data_pipeline/applier/postgres_applier.py; columnar
-COW is the architectural replacement, SURVEY.md §4).
+Layout (paths relative to the table root):
 
-Exactly-once: `merge` is idempotent by batch_id — foreachBatch batch ids are
-monotonically increasing, so a replayed batch (id ≤ last_batch_id) is a no-op
-(the reference's analog: skip records with lsn ≤ recovery point, SURVEY.md §2
-T4). Single-writer assumed (one streaming query); multi-writer needs real
-Iceberg optimistic concurrency.
+    _meta/version-hint.txt      name of the current snapshot json; swapped by
+                                atomic rename (POSIX) — crash-safe; an
+                                orphaned snapshot json is simply unreachable
+    _meta/snapshot-<n>.json     {snapshot_id, parent, kind, batch_id,
+                                 last_batch_id, watermark_lsn, schema_id,
+                                 files:[{path,bucket,schema_id,layer}], ...}
+    _meta/schema-<k>.json       {schema_id, fields:[{id,name,type,former_names}]}
+    data/s<n>/_bucket=<b>/*.parquet
+
+Data files carry engine columns: ``_lsn`` (writer's LSN per row) always, and
+``_op`` in delta files (I/U/D — D rows are tombstones). Files are bucketed by
+``pmod(xxhash64(conv_id), B)`` so merges/compactions parallelize across ≥ B
+writer tasks and reads prune by bucket.
+
+Exactly-once: `merge` is idempotent two ways (reference analog: skip records
+with lsn ≤ recovery point — data_pipeline/applier recovery vs
+process_control, SURVEY.md §2 T4): (a) batch_id ≤ last committed batch_id is
+a no-op (foreachBatch replays), (b) rows at or below the table watermark LSN
+are filtered (at-least-once transport redelivery). Single-writer assumed (one
+streaming query); multi-writer needs real Iceberg optimistic concurrency.
 """
 
 from __future__ import annotations
@@ -44,6 +57,8 @@ from pyspark.sql import types as T
 
 from data_pipeline_spark.operators.merge import merge_changeset
 from data_pipeline_spark.schemas import LSN_COL
+
+OP_COL = "_op"
 
 _TYPES: dict[str, T.DataType] = {
     "string": T.StringType(),
@@ -86,7 +101,6 @@ class LakehouseTable:
     def _load_snapshot(self, name: str) -> dict:
         with open(os.path.join(self.meta_dir, name)) as f:
             snap = json.load(f)
-        snap["_name"] = name
         return snap
 
     def snapshot_by_id(self, snapshot_id: int) -> dict:
@@ -97,7 +111,6 @@ class LakehouseTable:
             return json.load(f)
 
     def schema_struct(self, snap: dict | None = None) -> T.StructType:
-        """Current (or a given snapshot's) schema as a Spark StructType."""
         snap = snap or self.current_snapshot()
         sch = self._load_schema(snap["schema_id"])
         return T.StructType(
@@ -127,10 +140,18 @@ class LakehouseTable:
         os.rename(tmp, self._hint_path())  # atomic on POSIX
 
     # ---------------------------------------------------------------- create
-    def create(self, schema: T.StructType, n_buckets: int = 128) -> None:
-        """Create an empty table. n_buckets bounds merge write parallelism —
-        size it ≥ 4N executor cores so the COW write path scales (SURVEY.md
-        §7 hard part c)."""
+    def create(
+        self,
+        schema: T.StructType,
+        n_buckets: int = 128,
+        merge_mode: str = "mor",
+        compact_every: int = 8,
+    ) -> None:
+        """Create an empty table. n_buckets bounds merge/compaction write
+        parallelism — size it ≥ 4N executor cores (SURVEY.md §7 hard part c).
+        merge_mode: 'mor' (delta commits + auto-compaction, the CDC design)
+        or 'cow' (rewrite affected buckets per merge)."""
+        assert merge_mode in ("mor", "cow")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         fields = [
@@ -145,72 +166,29 @@ class LakehouseTable:
                 "kind": "create",
                 "batch_id": None,
                 "last_batch_id": -1,
+                "watermark_lsn": 0,
                 "schema_id": 0,
                 "n_buckets": n_buckets,
-                "watermark_lsn": 0,
-                "files": [],  # [{path, bucket, schema_id}]
+                "merge_mode": merge_mode,
+                "compact_every": compact_every,
+                "delta_commits": 0,
+                "files": [],
                 "stats": {},
                 "committed_at": time.time(),
             }
         )
 
     # ------------------------------------------------------------------ read
-    def read(self, spark: SparkSession, snapshot_id: int | None = None, with_lsn: bool = False) -> DataFrame:
-        """Read the table at the current (or a past) snapshot, projected to
-        that snapshot's schema. Files written under older schema versions are
-        mapped by field id: renamed columns aliased, widened columns cast,
-        later-added columns null-filled — all metadata-only, no data rewrite.
-        """
-        snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
-        cur = self._load_schema(snap["schema_id"])
-        cur_fields = cur["fields"]
-        out_cols = [f["name"] for f in cur_fields] + ([LSN_COL] if with_lsn else [])
-
-        if not snap["files"]:
-            struct = self.schema_struct(snap)
-            if with_lsn:
-                struct = T.StructType(struct.fields + [T.StructField(LSN_COL, T.LongType(), True)])
-            return spark.createDataFrame([], struct)
-
-        by_schema: dict[int, list[str]] = {}
-        for entry in snap["files"]:
-            by_schema.setdefault(entry["schema_id"], []).append(
-                os.path.join(self.path, entry["path"])
-            )
-
-        parts = []
-        for schema_id, paths in sorted(by_schema.items()):
-            written = self._load_schema(schema_id)
-            by_id = {f["id"]: f for f in written["fields"]}
-            cols = []
-            for f in cur_fields:
-                w = by_id.get(f["id"])
-                if w is None:
-                    cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
-                else:
-                    cols.append(F.col(w["name"]).cast(_spark_type(f["type"])).alias(f["name"]))
-            cols.append(F.col(LSN_COL))
-            parts.append(spark.read.parquet(*paths).select(*cols))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df.select(*out_cols)
-
-    def _read_buckets(self, spark: SparkSession, snap: dict, buckets: set[int]) -> DataFrame | None:
-        """Read only the given buckets' files (merge-side pruning)."""
-        entries = [e for e in snap["files"] if e["bucket"] in buckets]
+    def _read_parts(
+        self, spark: SparkSession, snap: dict, entries: list[dict], extra: list[str]
+    ) -> DataFrame | None:
+        """Read file entries projected to the snapshot's schema (field-id
+        mapping: rename→alias, widen→cast, added→null) + engine columns."""
         if not entries:
             return None
-        pruned = dict(snap)
-        pruned["files"] = entries
-        return self.read_from_snapshot_dict(spark, pruned)
-
-    def read_from_snapshot_dict(self, spark: SparkSession, snap: dict) -> DataFrame:
         by_schema: dict[int, list[str]] = {}
-        for entry in snap["files"]:
-            by_schema.setdefault(entry["schema_id"], []).append(
-                os.path.join(self.path, entry["path"])
-            )
+        for e in entries:
+            by_schema.setdefault(e["schema_id"], []).append(os.path.join(self.path, e["path"]))
         cur_fields = self._load_schema(snap["schema_id"])["fields"]
         parts = []
         for schema_id, paths in sorted(by_schema.items()):
@@ -223,21 +201,68 @@ class LakehouseTable:
                     cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
                 else:
                     cols.append(F.col(w["name"]).cast(_spark_type(f["type"])).alias(f["name"]))
-            cols.append(F.col(LSN_COL))
+            cols.extend(F.col(c) for c in extra)
             parts.append(spark.read.parquet(*paths).select(*cols))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
 
+    def _empty(self, spark: SparkSession, snap: dict, with_lsn: bool) -> DataFrame:
+        struct = self.schema_struct(snap)
+        if with_lsn:
+            struct = T.StructType(struct.fields + [T.StructField(LSN_COL, T.LongType(), True)])
+        return spark.createDataFrame([], struct)
+
+    def _reconciled(
+        self, spark: SparkSession, snap: dict, buckets: set[int] | None = None
+    ) -> DataFrame | None:
+        """Current live rows (with `lsn` column): base ∪ deltas reconciled by
+        last-writer-wins; tombstones suppressed. None if no files."""
+        entries = snap["files"]
+        if buckets is not None:
+            entries = [e for e in entries if e["bucket"] in buckets]
+        base_e = [e for e in entries if e.get("layer", "base") == "base"]
+        delta_e = [e for e in entries if e.get("layer") == "delta"]
+        data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+
+        base = self._read_parts(spark, snap, base_e, [LSN_COL])
+        if base is not None:
+            base = base.select(
+                F.col(LSN_COL).alias("lsn"), F.lit("I").alias("op"), *data_cols
+            )
+        if not delta_e:
+            return base
+        delta = self._read_parts(spark, snap, delta_e, [LSN_COL, OP_COL])
+        delta = delta.select(
+            F.col(LSN_COL).alias("lsn"), F.col(OP_COL).alias("op"), *data_cols
+        )
+        return merge_changeset(base, delta, data_cols, extra_cols=())
+
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None, with_lsn: bool = False
+    ) -> DataFrame:
+        """Read the table at the current (or a past) snapshot. MOR deltas are
+        reconciled here (the read-side LWW); COW tables hit the no-delta fast
+        path (plain scan, no shuffle)."""
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
+        data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        rec = self._reconciled(spark, snap)
+        if rec is None:
+            return self._empty(spark, snap, with_lsn)
+        out_cols = list(data_cols) + ([F.col("lsn").alias(LSN_COL)] if with_lsn else [])
+        return rec.select(*out_cols)
+
     # ----------------------------------------------------------------- write
     def bucket_expr(self, n_buckets: int) -> F.Column:
         return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
-    def _write_data(self, df: DataFrame, snapshot_id: int, schema_id: int, n_buckets: int) -> list[dict]:
-        """Write rows (must include _bucket and _lsn) under data/s<id>/ and
-        return file entries. One shuffle: repartition by _bucket so writes
-        parallelize across affected buckets."""
+    def _write_data(
+        self, df: DataFrame, snapshot_id: int, schema_id: int, n_buckets: int, layer: str
+    ) -> list[dict]:
+        """Write rows (with _bucket, _lsn and — for deltas — _op) under
+        data/s<id>/, one shuffle (repartition by _bucket) so writes
+        parallelize across buckets. Returns file entries."""
         rel = f"data/s{snapshot_id}"
         out = os.path.join(self.path, rel)
         (
@@ -254,27 +279,28 @@ class LakehouseTable:
             for fn in sorted(os.listdir(os.path.join(out, bdir))):
                 if fn.endswith(".parquet"):
                     entries.append(
-                        {"path": f"{rel}/{bdir}/{fn}", "bucket": b, "schema_id": schema_id}
+                        {"path": f"{rel}/{bdir}/{fn}", "bucket": b,
+                         "schema_id": schema_id, "layer": layer}
                     )
         return entries
 
     def overwrite(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None) -> dict:
         """Full snapshot load (the initsync path — reference:
-        data_pipeline/initsync_pipe.py; SURVEY.md §2 S3/K4). df must have the
-        current schema; `_lsn` defaults to 0 if absent."""
+        data_pipeline/initsync_pipe.py; SURVEY.md §2 S3/K4)."""
         snap = self.current_snapshot()
         if LSN_COL not in df.columns:
             df = df.withColumn(LSN_COL, F.lit(0).cast("long"))
         data = df.withColumn("_bucket", self.bucket_expr(snap["n_buckets"]))
         new_id = snap["snapshot_id"] + 1
-        entries = self._write_data(data, new_id, snap["schema_id"], snap["n_buckets"])
+        entries = self._write_data(data, new_id, snap["schema_id"], snap["n_buckets"], "base")
         new = {
-            **{k: snap[k] for k in ("schema_id", "n_buckets")},
+            **snap,
             "snapshot_id": new_id,
             "parent": snap["snapshot_id"],
             "kind": "overwrite",
             "batch_id": batch_id,
             "last_batch_id": max(snap["last_batch_id"], batch_id if batch_id is not None else -1),
+            "delta_commits": 0,
             "files": entries,
             "stats": {},
             "committed_at": time.time(),
@@ -283,52 +309,54 @@ class LakehouseTable:
         return new
 
     # ----------------------------------------------------------------- merge
-    def merge(self, spark: SparkSession, batch_id: int, changes: DataFrame) -> dict:
-        """Copy-on-write MERGE of a deduped changeset (≤1 row per key, with
-        `lsn` and `op` columns plus the table columns).
+    def merge(
+        self,
+        spark: SparkSession,
+        batch_id: int,
+        changes: DataFrame,
+        affected_hint: set[int] | None = None,
+        max_lsn_hint: int | None = None,
+    ) -> dict:
+        """Apply a deduped changeset (≤1 row per key; columns: lsn, op,
+        <table columns>, optionally _bucket).
 
-        Iceberg equivalent (one statement, when the jar is present):
-          MERGE INTO t USING s ON t.conv_id=s.conv_id AND t.turn_idx=s.turn_idx
-          WHEN MATCHED AND s.op='D' THEN DELETE
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED AND s.op!='D' THEN INSERT *
-
-        Idempotent: batch_id ≤ last committed batch_id → no-op (exactly-once
-        over at-least-once replay). Returns {skipped|stats...}.
-        """
+        Iceberg equivalents: COW = `MERGE INTO t USING s ON keys WHEN MATCHED
+        AND s.op='D' THEN DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT
+        MATCHED AND s.op!='D' THEN INSERT *`; MOR = an equality-delete +
+        data-file commit. Idempotent by batch_id and by watermark LSN."""
         snap = self.current_snapshot()
         if batch_id <= snap["last_batch_id"]:
             return {"skipped": True, "batch_id": batch_id, "snapshot_id": snap["snapshot_id"]}
 
         n_buckets = snap["n_buckets"]
-        cur_schema = self._load_schema(snap["schema_id"])
-        data_cols = [f["name"] for f in cur_schema["fields"]]
-
-        # LSN recovery filter (reference T4: skip records with lsn ≤ last
-        # applied — SURVEY.md §2). Makes redelivered chunks (at-least-once
-        # transport) no-ops without tombstones: the feed is log-ordered
-        # across batches, so anything at or below the table watermark has
-        # already taken effect.
         watermark = snap.get("watermark_lsn") or 0
         changes = changes.where(F.col("lsn") > F.lit(watermark))
+        if "_bucket" not in changes.columns:
+            changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
 
-        changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
-        # Affected-bucket pruning (tiny collect: ≤ n_buckets ints + max lsn).
-        head = changes.agg(
-            F.collect_set("_bucket").alias("b"), F.max("lsn").alias("m")
-        ).first()
-        affected = set(head["b"])
-        new_watermark = max(watermark, head["m"] or 0)
+        # Affected-bucket set + max LSN: tiny collect, or caller-provided
+        # (the ingest loop folds them into its lineage-metrics pass).
+        if affected_hint is not None and max_lsn_hint is not None:
+            affected = set(affected_hint)
+            new_watermark = max(watermark, max_lsn_hint)
+            if max_lsn_hint <= watermark:
+                affected = set()
+        else:
+            head = changes.agg(
+                F.collect_set("_bucket").alias("b"), F.max("lsn").alias("m")
+            ).first()
+            affected = set(head["b"])
+            new_watermark = max(watermark, head["m"] or 0)
+
         if not affected:
             # fully-duplicate batch: metadata-only commit advancing batch_id
             new = {
-                **{k: snap[k] for k in ("schema_id", "n_buckets", "files")},
+                **snap,
                 "snapshot_id": snap["snapshot_id"] + 1,
                 "parent": snap["snapshot_id"],
                 "kind": "merge",
                 "batch_id": batch_id,
                 "last_batch_id": batch_id,
-                "watermark_lsn": watermark,
                 "stats": {"affected_buckets": 0},
                 "committed_at": time.time(),
             }
@@ -336,34 +364,64 @@ class LakehouseTable:
             return {"skipped": False, "batch_id": batch_id, "snapshot_id": new["snapshot_id"],
                     "affected_buckets": 0, "rows_filtered_by_watermark": True}
 
-        existing = self._read_buckets(spark, snap, affected)
-        chg = changes.select(
-            F.col("lsn"),
-            F.col("op"),
-            F.col("_bucket"),
-            *[F.col(c) for c in data_cols],
-        )
-        exi = None
-        if existing is not None:
-            exi = existing.select(
-                F.col(LSN_COL).alias("lsn"),
-                F.lit("I").alias("op"),
-                self.bucket_expr(n_buckets).alias("_bucket"),
-                *[F.col(c) for c in data_cols],
-            )
-        live = merge_changeset(exi, chg, data_cols).withColumnRenamed("lsn", LSN_COL)
+        if snap.get("merge_mode", "cow") == "mor":
+            return self._merge_mor(spark, snap, batch_id, changes, affected, new_watermark)
+        return self._merge_cow(spark, snap, batch_id, changes, affected, new_watermark)
 
+    def _merge_mor(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
+        """Delta commit: write the changeset (deletes kept as tombstones) —
+        O(batch), nothing read. Auto-compacts every `compact_every` deltas."""
+        data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        delta = changes.select(
+            F.col("_bucket"),
+            F.col("lsn").alias(LSN_COL),
+            F.col("op").alias(OP_COL),
+            *data_cols,
+        )
         new_id = snap["snapshot_id"] + 1
-        new_entries = self._write_data(live, new_id, snap["schema_id"], n_buckets)
-        carried = [e for e in snap["files"] if e["bucket"] not in affected]
+        entries = self._write_data(delta, new_id, snap["schema_id"], snap["n_buckets"], "delta")
         new = {
+            **snap,
             "snapshot_id": new_id,
             "parent": snap["snapshot_id"],
             "kind": "merge",
             "batch_id": batch_id,
             "last_batch_id": batch_id,
-            "schema_id": snap["schema_id"],
-            "n_buckets": n_buckets,
+            "watermark_lsn": new_watermark,
+            "delta_commits": snap.get("delta_commits", 0) + 1,
+            "files": snap["files"] + entries,
+            "stats": {"affected_buckets": len(affected)},
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        compacted = False
+        if new["delta_commits"] >= snap.get("compact_every", 8):
+            self.compact(spark)
+            compacted = True
+        return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
+                "affected_buckets": len(affected), "compacted": compacted}
+
+    def _merge_cow(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
+        """Copy-on-write: reconcile + rewrite only the affected buckets."""
+        data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        existing = self._reconciled(spark, snap, buckets=affected)
+        if existing is not None:
+            existing = existing.select(
+                "lsn", F.lit("I").alias("op"),
+                self.bucket_expr(snap["n_buckets"]).alias("_bucket"), *data_cols,
+            )
+        chg = changes.select("lsn", "op", "_bucket", *data_cols)
+        live = merge_changeset(existing, chg, data_cols).withColumnRenamed("lsn", LSN_COL)
+        new_id = snap["snapshot_id"] + 1
+        new_entries = self._write_data(live, new_id, snap["schema_id"], snap["n_buckets"], "base")
+        carried = [e for e in snap["files"] if e["bucket"] not in affected]
+        new = {
+            **snap,
+            "snapshot_id": new_id,
+            "parent": snap["snapshot_id"],
+            "kind": "merge",
+            "batch_id": batch_id,
+            "last_batch_id": batch_id,
             "watermark_lsn": new_watermark,
             "files": carried + new_entries,
             "stats": {"affected_buckets": len(affected)},
@@ -373,13 +431,43 @@ class LakehouseTable:
         return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
                 "affected_buckets": len(affected)}
 
+    # ------------------------------------------------------------ compaction
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold all delta layers into a fresh base: one LWW reconcile, one
+        bucketed write, tombstones dropped. A maintenance commit (no
+        batch_id); bounds MOR read amplification."""
+        snap = self.current_snapshot()
+        if not any(e.get("layer") == "delta" for e in snap["files"]):
+            return {"skipped": True}
+        rec = self._reconciled(spark, snap)
+        base = rec.select(
+            self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+            F.col("lsn").alias(LSN_COL),
+            *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
+        )
+        new_id = snap["snapshot_id"] + 1
+        entries = self._write_data(base, new_id, snap["schema_id"], snap["n_buckets"], "base")
+        new = {
+            **snap,
+            "snapshot_id": new_id,
+            "parent": snap["snapshot_id"],
+            "kind": "compact",
+            "batch_id": None,
+            "delta_commits": 0,
+            "files": entries,
+            "stats": {"compacted_files": len(snap["files"])},
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {"skipped": False, "snapshot_id": new_id}
+
     # ------------------------------------------------------------------- DDL
     def apply_ddl(self, descriptors: list[dict]) -> dict:
         """Metadata-only schema evolution, mirroring the reference's DDL
         replication (data_pipeline/sql/ DDL parse + applier DDL branch,
         SURVEY.md §2 T8). Supported: add_column / rename_column / widen_type.
         No data files are touched; old files are re-mapped at read time by
-        field id."""
+        field id. Idempotent under replay."""
         if not descriptors:
             return {"skipped": True}
         snap = self.current_snapshot()
@@ -430,6 +518,5 @@ class LakehouseTable:
             "schema_id": new_schema_id,
             "committed_at": time.time(),
         }
-        new.pop("_name", None)
         self._commit(new)
         return {"skipped": False, "schema_id": new_schema_id}

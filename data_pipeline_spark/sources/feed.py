@@ -16,6 +16,7 @@ the sandbox has no Kafka jar; the production swap is `format("kafka")`).
 from __future__ import annotations
 
 import json
+import time
 import math
 import os
 from dataclasses import dataclass, field
@@ -181,3 +182,92 @@ def read_feed_stream(spark, feed_dir: str, max_files_per_trigger: int = 8):
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(feed_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-parallel feed generation (bench-scale). Content is derived purely
+# from the LSN via a splitmix-style hash, so any partitioning of the range
+# produces the same feed — deterministic and embarrassingly parallel (the
+# single-threaded pandas generator above stays the fixture for correctness
+# tests; this one exists because 10^7-10^8-event bench feeds cannot be
+# generated on one core).
+# ---------------------------------------------------------------------------
+
+def _hash_u01(x: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniform(0,1) per element (splitmix64-ish; uint64
+    wraparound is the point — overflow warnings suppressed)."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z.astype(np.float64) / float(2**64)
+
+
+def generate_feed_spark(
+    spark, out_dir: str, spec: FeedSpec, n_chunks: int = 256
+) -> None:
+    """Generate spec.n_events change events in parallel and write ordered
+    chunk files (chunk index = LSN range, mtimes increasing so the streaming
+    file source delivers them in log order)."""
+    ranks = np.arange(1, spec.n_convs + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    cum = np.cumsum(probs / probs.sum())
+    p_del, p_upd = spec.p_delete, spec.p_update
+    hot = spec.hot_key
+    n_convs, max_turns = spec.n_convs, spec.max_turns
+    base = pd.Timestamp(spec.base_ts).value // 10**9
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lsn = ids + 1
+            u1 = _hash_u01(ids, 1)
+            u2 = _hash_u01(ids, 2)
+            u3 = _hash_u01(ids, 3)
+            conv = np.searchsorted(cum, u1).clip(0, n_convs - 1)
+            if hot:
+                conv = np.where(u2 < 0.30, n_convs, conv)
+            turn = (_hash_u01(ids, 4) * max_turns).astype(np.int32)
+            op = np.where(u3 < p_del, "D", np.where(u3 < p_del + p_upd, "U", "I"))
+            ts = pd.to_datetime(base + lsn, unit="s")
+            conv_s = pd.Series(conv).map(lambda c: f"conv-{c:06d}")
+            role = ROLES[turn % 4]
+            dml = op != "D"
+            lsn_s = pd.Series(lsn.astype(str))
+            text = "turn " + pd.Series(turn.astype(str)) + " of " + conv_s + " rev " + lsn_s
+            ts_str = pd.Series(ts.strftime("%Y-%m-%dT%H:%M:%S"))
+            payload = (
+                '{"role":"' + pd.Series(role) + '","text":"' + text
+                + '","ts":"' + ts_str + '"}'
+            )
+            yield pd.DataFrame(
+                {
+                    "lsn": lsn,
+                    "op": op,
+                    "ts": ts,
+                    "conv_id": conv_s,
+                    "turn_idx": pd.array(turn, dtype="Int32"),
+                    "payload": payload.where(dml, None),
+                }
+            )
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out_dir + ".spark-tmp"
+    (
+        spark.range(0, spec.n_events, 1, numPartitions=n_chunks)
+        .mapInPandas(gen, schema=CHANGE_EVENT_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # rename part files into ordered chunk files with increasing mtimes so
+    # the file stream source delivers them in LSN order
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    now = time.time() - len(parts)
+    for i, f in enumerate(parts):
+        dst = os.path.join(out_dir, f"chunk-{i:06d}.parquet")
+        os.rename(os.path.join(tmp, f), dst)
+        os.utime(dst, (now + i, now + i))
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)

@@ -50,38 +50,68 @@ class IngestJob:
     # ------------------------------------------------------------- one batch
     def apply_batch(self, spark: SparkSession, batch_id: int, raw: DataFrame) -> dict:
         t0 = time.monotonic()
+        debug = os.environ.get("INGEST_DEBUG_TIMING") == "1"
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if debug:
+                marks.append((label, time.monotonic() - t0))
 
         # DDL branch (reference: applier DDL routing, SURVEY.md §2 T3/T8).
         # DDL rows are rare and tiny — driver-side metadata ops, in LSN order.
+        # Two-phase probe: the existence check scans only the 8-byte op/lsn
+        # columns (column-pruned parquet read); the payload column — the wide
+        # one — is fetched only when a DDL row actually exists in the batch.
+        has_ddl = raw.where(F.col("op") == "DDL").select("lsn").first() is not None
         ddl_rows = (
             raw.where(F.col("op") == "DDL").select("lsn", "payload").collect()
+            if has_ddl
+            else []
         )
         if ddl_rows:
             descriptors = [json.loads(r.payload) for r in sorted(ddl_rows, key=lambda r: r.lsn)]
             self.table.apply_ddl(descriptors)
+        mark("ddl")
 
         schema = self.table.schema_struct()
         renames = self.table.renames()
         decode = decode_events if self.decoder == "pandas" else decode_events_sql
         decoded = decode(raw, schema, renames)
-        deduped = lww_dedup(decoded, salt=self.salt).persist()
+        n_buckets = self.table.current_snapshot()["n_buckets"]
+        deduped = (
+            lww_dedup(decoded, salt=self.salt)
+            .withColumn("_bucket", self.table.bucket_expr(n_buckets))
+            .persist()
+        )
         try:
-            # Per-partition lineage/metrics BEFORE the merge consumes the frame.
+            # Per-partition lineage/metrics BEFORE the merge consumes the
+            # frame; the same pass collects the affected-bucket set and max
+            # LSN so the merge doesn't need its own probe job.
             metrics = (
                 deduped.groupBy(F.spark_partition_id().alias("partition_id"))
                 .agg(
                     F.count("*").alias("rows_applied"),
                     F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
                     F.max("lsn").alias("watermark_lsn"),
+                    F.collect_set("_bucket").alias("buckets"),
                 )
                 .collect()
             )
-            result = self.table.merge(spark, batch_id, deduped)
+            affected = {b for m in metrics for b in m.buckets}
+            max_lsn = max((m.watermark_lsn for m in metrics), default=None)
+            mark("dedup+metrics")
+            result = self.table.merge(
+                spark, batch_id, deduped,
+                affected_hint=affected, max_lsn_hint=max_lsn or 0,
+            )
+            mark("merge")
         finally:
             deduped.unpersist()
 
         if not result.get("skipped"):
             self._write_control(batch_id, metrics, wall_ms=int((time.monotonic() - t0) * 1000))
+        if debug:
+            print(f"[apply_batch {batch_id}] " + " ".join(f"{l}={s:.2f}s" for l, s in marks))
         return result
 
     def _write_control(self, batch_id: int, metrics, wall_ms: int) -> None:

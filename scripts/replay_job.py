@@ -29,6 +29,16 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=8)
     ap.add_argument("--decoder", default="pandas", choices=["pandas", "sql"])
     ap.add_argument("--mode", default="stream", choices=["stream", "batch"])
+    ap.add_argument("--warmup", action="store_true", default=True)
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false")
+    ap.add_argument(
+        "--workdir",
+        default="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        help="where table/checkpoint/shuffle dirs live; tmpfs by default — "
+        "the sandbox's single virtio disk (~110 MB/s total) is a shared "
+        "bottleneck that a real cluster doesn't have (per-executor NVMe / "
+        "object-store bandwidth scales with the fleet)",
+    )
     args = ap.parse_args()
 
     from data_pipeline_spark.plans.table_format import LakehouseTable
@@ -36,11 +46,35 @@ def main() -> None:
     from data_pipeline_spark.session import get_spark
     from data_pipeline_spark.streaming.ingest import IngestJob
 
-    spark = get_spark("replay-bench", cores=args.cores)
-    root = tempfile.mkdtemp(prefix=f"replay-{args.cores}c-")
+    # Feed chunk files are small (log segments); tighten partition packing so
+    # the scan/decode stage fans out across all cores instead of gluing the
+    # whole feed into a handful of input splits.
+    root = tempfile.mkdtemp(prefix=f"replay-{args.cores}c-", dir=args.workdir)
+    spark = get_spark(
+        "replay-bench",
+        cores=args.cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+            "spark.local.dir": os.path.join(root, "sparklocal"),
+        },
+    )
     tbl = os.path.join(root, "table")
     LakehouseTable(tbl).create(TRANSCRIPT_SCHEMA, n_buckets=args.n_buckets)
     job = IngestJob(tbl, os.path.join(root, "control"), salt=args.salt, decoder=args.decoder)
+
+    if args.warmup:
+        # one-time costs (whole-stage codegen compile, Python worker spawn,
+        # parquet/committer class init) paid on a throwaway table so the
+        # timed window measures sustained throughput, not JVM warmup
+        from data_pipeline_spark.sources.feed import FeedSpec, generate_feed
+
+        wfeed = os.path.join(root, "wfeed")
+        generate_feed(wfeed, FeedSpec(n_events=50_000, n_convs=500, seed=7, chunk_size=25_000))
+        wtbl = os.path.join(root, "wtable")
+        LakehouseTable(wtbl).create(TRANSCRIPT_SCHEMA, n_buckets=args.n_buckets)
+        wjob = IngestJob(wtbl, os.path.join(root, "wctl"), salt=args.salt, decoder=args.decoder)
+        wjob.run_to_completion(spark, wfeed, os.path.join(root, "wckpt"), max_files_per_trigger=1)
 
     t0 = time.monotonic()
     if args.mode == "stream":
@@ -53,6 +87,8 @@ def main() -> None:
     wall = time.monotonic() - t0
 
     final_rows = LakehouseTable(tbl).read(spark).count()
+    import shutil
+
     print(json.dumps({
         "cores": args.cores,
         "events": args.events,
@@ -63,6 +99,7 @@ def main() -> None:
         "decoder": args.decoder,
     }))
     spark.stop()
+    shutil.rmtree(root, ignore_errors=True)  # don't leak tmpfs
 
 
 if __name__ == "__main__":

@@ -105,3 +105,39 @@ def test_incremental_batches_match_oracle(spark, feed_dir, tmp_path):
     for i, c in enumerate(chunks):
         job.apply_batch(spark, i, spark.read.parquet(c))
     assert_matches_oracle(spark, table, SPEC)
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_batch_replay_both_merge_modes(spark, feed_dir, tmp_path, mode):
+    table = LakehouseTable(str(tmp_path / f"t-{mode}"))
+    table.create(TRANSCRIPT_SCHEMA, n_buckets=16, merge_mode=mode)
+    job = IngestJob(str(tmp_path / f"t-{mode}"), str(tmp_path / f"ctl-{mode}"))
+    import glob
+
+    for i, c in enumerate(sorted(glob.glob(feed_dir + "/chunk-*.parquet"))):
+        job.apply_batch(spark, i, spark.read.parquet(c))
+    assert_matches_oracle(spark, table, SPEC)
+
+
+def test_mor_compaction_preserves_state(spark, feed_dir, tmp_path):
+    table = LakehouseTable(str(tmp_path / "tc"))
+    # compact_every high so compaction only happens when we call it
+    table.create(TRANSCRIPT_SCHEMA, n_buckets=16, merge_mode="mor", compact_every=99)
+    job = IngestJob(str(tmp_path / "tc"), str(tmp_path / "ctl-c"))
+    import glob
+
+    for i, c in enumerate(sorted(glob.glob(feed_dir + "/chunk-*.parquet"))):
+        job.apply_batch(spark, i, spark.read.parquet(c))
+    snap = table.current_snapshot()
+    assert any(e.get("layer") == "delta" for e in snap["files"])
+    before = table_as_pandas(spark, table)
+    r = table.compact(spark)
+    assert not r["skipped"]
+    snap2 = table.current_snapshot()
+    assert all(e.get("layer") == "base" for e in snap2["files"])
+    assert snap2["delta_commits"] == 0
+    after = table_as_pandas(spark, table)
+    pd.testing.assert_frame_equal(before, after)
+    assert_matches_oracle(spark, table, SPEC)
+    # compacting an already-compacted table is a no-op
+    assert table.compact(spark)["skipped"]
