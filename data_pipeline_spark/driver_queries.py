@@ -928,3 +928,93 @@ def cdc_replay_transcripts(spark, sf_dir):
 
 
 Q["cdc_replay_transcripts"] = cdc_replay_transcripts
+
+
+_PAIR_COS_DUCK = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND({_PAIR_COS_DUCK}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS_DUCK} >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup detection, blocked by IVF cell (label):
+    pairwise cosine only within a cell — the blocking that makes pairwise
+    feasible at corpus scale (cells shrink the quadratic term by ~|cells|²)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.aggregate(  # noqa: E731
+        F.transform(f"{side}.embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(norm("a")) * F.sqrt(norm("b")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x IN {_STOP_DUCK})) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+           lang AS lang_actual,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM feats GROUP BY 1, 2
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic (stopword-density n-gram signal) — confusion
+    matrix against the labeled lang column."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    stop_ratio = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS))) / F.size("toks")
+    pred = F.when(stop_ratio >= 0.05, "en").otherwise("other")
+    return d.groupBy(
+        pred.alias("lang_pred"), F.col("lang").alias("lang_actual")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "token_counts_regex",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts_regex(spark, sf_dir):
+    """Token counting: whitespace split vs a BPE-ish regex tokenizer
+    (letters / digits / single non-alnum), both Catalyst-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias("bpe_ish_tokens"),
+    )

@@ -43,24 +43,47 @@ def _decode_batch(
     pdf: pd.DataFrame,
     table_fields: list[tuple[str, str]],
     renames: dict[str, list[str]],
+    with_validity: bool = False,
 ) -> pd.DataFrame:
     """Decode one Arrow batch. table_fields = [(name, simple_type), ...] for
     the current schema version (excluding key columns); renames maps a
-    current column name to its historical names (old payloads carry those)."""
+    current column name to its historical names (old payloads carry those).
+
+    with_validity=True adds `_valid`/`_error` columns instead of failing the
+    batch on malformed payloads (reference skip-vs-abort error handling —
+    data_pipeline applier error paths + mailer, SURVEY.md §2 T11). The happy
+    path stays one bulk C-level parse; the per-row isolation loop runs only
+    after a bulk-parse failure."""
     out = pd.DataFrame(index=pdf.index)
     out["lsn"] = pdf["lsn"]
     out["op"] = pdf["op"]
     out["conv_id"] = pdf["conv_id"]
     out["turn_idx"] = pdf["turn_idx"]
+    errors = pd.Series(None, index=pdf.index, dtype="object")
 
     has_payload = pdf["payload"].notna()
     payloads = pdf.loc[has_payload, "payload"]
     if len(payloads):
-        # One C-level JSON parse for the whole batch (vectorized decode).
-        parsed = pd.read_json(
-            io.StringIO("[" + ",".join(payloads.tolist()) + "]"), orient="records"
-        )
-        parsed.index = payloads.index
+        try:
+            # One C-level JSON parse for the whole batch (vectorized decode).
+            parsed = pd.read_json(
+                io.StringIO("[" + ",".join(payloads.tolist()) + "]"), orient="records"
+            )
+            parsed.index = payloads.index
+        except ValueError:
+            if not with_validity:
+                raise
+            import json as _json
+
+            rows, bad = {}, {}
+            for i, p in payloads.items():
+                try:
+                    rows[i] = _json.loads(p)
+                except Exception as e:  # noqa: BLE001 — quarantine any parse error
+                    bad[i] = f"{type(e).__name__}: {e}"
+            parsed = pd.DataFrame.from_dict(rows, orient="index")
+            for i, msg in bad.items():
+                errors.loc[i] = msg
     else:
         parsed = pd.DataFrame(index=payloads.index)
 
@@ -77,6 +100,14 @@ def _decode_batch(
         elif typ in _PD_CAST:
             col = col.astype(_PD_CAST[typ])
         out[name] = col
+    if with_validity:
+        # a DML row must have a parseable payload and a key to be applicable
+        missing_key = out["conv_id"].isna() | out["turn_idx"].isna()
+        errors = errors.where(~missing_key, "missing merge key")
+        dml_needs_payload = pdf["op"].isin(["I", "U"]) & ~has_payload
+        errors = errors.where(~dml_needs_payload, "missing payload for I/U")
+        out["_error"] = errors
+        out["_valid"] = errors.isna()
     return out
 
 
@@ -84,20 +115,30 @@ def decode_events(
     raw: DataFrame,
     table_schema: T.StructType,
     renames: dict[str, list[str]] | None = None,
+    with_validity: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized decode of DML change records (op != 'DDL').
 
     Returns a DataFrame with schema ``decoded_schema(table_schema)``:
-    (lsn, op, <table columns>). Key columns come from the envelope and are
-    cast to the current schema types (covers the turn_idx widen).
+    (lsn, op, <table columns>) — plus (_error, _valid) when
+    with_validity=True (malformed records flagged instead of failing the
+    batch; the ingest loop quarantines them). Key columns come from the
+    envelope and are cast to the current schema types (covers the turn_idx
+    widen).
     """
     renames = renames or {}
     out_schema = decoded_schema(table_schema)
+    if with_validity:
+        out_schema = T.StructType(
+            out_schema.fields
+            + [T.StructField("_error", T.StringType(), True),
+               T.StructField("_valid", T.BooleanType(), False)]
+        )
     fields = [(f.name, f.dataType.simpleString()) for f in table_schema.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_batch(pdf, fields, renames)
+            yield _decode_batch(pdf, fields, renames, with_validity)
 
     dml = raw.where(F.col("op") != "DDL")
     return dml.mapInPandas(fn, schema=out_schema)
@@ -107,6 +148,7 @@ def decode_events_sql(
     raw: DataFrame,
     table_schema: T.StructType,
     renames: dict[str, list[str]] | None = None,
+    with_validity: bool = False,
 ) -> DataFrame:
     """Catalyst-only decode via ``from_json`` — same output contract as
     ``decode_events``; stays entirely inside whole-stage codegen."""
@@ -120,7 +162,13 @@ def decode_events_sql(
         parse_fields.append(T.StructField(f.name, typ, True))
         for old in renames.get(f.name, []):
             parse_fields.append(T.StructField(old, T.StringType(), True))
-    parsed = F.from_json(F.col("payload"), T.StructType(parse_fields))
+    if with_validity:
+        parse_fields.append(T.StructField("_corrupt", T.StringType(), True))
+    parsed = F.from_json(
+        F.col("payload"),
+        T.StructType(parse_fields),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
 
     cols = [F.col("lsn"), F.col("op"), F.col("conv_id")]
     key_type = dict((f.name, f.dataType) for f in table_schema.fields)
@@ -134,6 +182,18 @@ def decode_events_sql(
         if isinstance(f.dataType, T.TimestampType):
             expr = F.to_timestamp(expr, "yyyy-MM-dd'T'HH:mm:ss")
         cols.append(expr.alias(f.name))
+    if with_validity:
+        err = (
+            F.when(
+                F.col("payload").isNotNull()
+                & (F.col("j").isNull() | F.col("j._corrupt").isNotNull()),
+                F.lit("malformed payload"),
+            )
+            .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), F.lit("missing merge key"))
+            .when(F.col("op").isin("I", "U") & F.col("payload").isNull(), F.lit("missing payload for I/U"))
+        )
+        cols.append(err.alias("_error"))
+        cols.append(err.isNull().alias("_valid"))
     return (
         raw.where(F.col("op") != "DDL")
         .withColumn("j", parsed)

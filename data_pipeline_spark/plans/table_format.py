@@ -520,3 +520,24 @@ class LakehouseTable:
         }
         self._commit(new)
         return {"skipped": False, "schema_id": new_schema_id}
+
+    # ---------------------------------------------------------------- verify
+    def verify_against(self, spark: SparkSession, source: DataFrame) -> dict:
+        """Initsync verification (reference: post-load row-count comparison in
+        data_pipeline/initsync_pipe.py, SURVEY.md §2 T10), strengthened to a
+        full symmetric-difference check: row counts AND exceptAll both ways
+        must be empty. Returns a report dict; `ok` gates the run."""
+        data_cols = [f.name for f in self.schema_struct().fields]
+        target = self.read(spark).select(*data_cols)
+        src = source.select(*data_cols)
+        n_src = src.count()
+        n_tgt = target.count()
+        missing = src.exceptAll(target).count()
+        extra = target.exceptAll(src).count()
+        return {
+            "ok": n_src == n_tgt and missing == 0 and extra == 0,
+            "source_rows": n_src,
+            "target_rows": n_tgt,
+            "missing_in_target": missing,
+            "extra_in_target": extra,
+        }

@@ -45,6 +45,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: bench.py must print exactly one JSON line
+        .config("spark.ui.showConsoleProgress", "false")
         # v2 commit: per-task rename instead of a sequential driver-side
         # directory merge — matters for the 128-way bucketed COW writes
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")

@@ -40,11 +40,16 @@ class IngestJob:
         control_path: str,
         salt: int | None = None,
         decoder: str = "pandas",  # "pandas" (Arrow UDF, north-rule default) | "sql" (from_json)
+        on_error: str = "abort",  # "abort" (fail batch, resume from ckpt) | "quarantine"
+        quarantine_path: str | None = None,
     ):
+        assert on_error in ("abort", "quarantine")
         self.table = LakehouseTable(table_path)
         self.control_path = control_path
         self.salt = salt
         self.decoder = decoder
+        self.on_error = on_error
+        self.quarantine_path = quarantine_path or os.path.join(control_path, "..", "quarantine")
         os.makedirs(control_path, exist_ok=True)
 
     # ------------------------------------------------------------- one batch
@@ -76,7 +81,19 @@ class IngestJob:
         schema = self.table.schema_struct()
         renames = self.table.renames()
         decode = decode_events if self.decoder == "pandas" else decode_events_sql
-        decoded = decode(raw, schema, renames)
+        if self.on_error == "quarantine":
+            # skip-and-continue error handling (reference: configurable
+            # skip/abort + notification — SURVEY.md §2 T11): malformed
+            # records land in a dead-letter parquet dir with the reason.
+            flagged = decode(raw, schema, renames, with_validity=True)
+            bad = flagged.where(~F.col("_valid"))
+            bad.write.mode("append").parquet(
+                os.path.join(self.quarantine_path, f"batch={batch_id}")
+            )
+            decoded = flagged.where(F.col("_valid")).drop("_valid", "_error")
+        else:
+            decoded = decode(raw, schema, renames)
+        mark("decode-quarantine")
         n_buckets = self.table.current_snapshot()["n_buckets"]
         deduped = (
             lww_dedup(decoded, salt=self.salt)
