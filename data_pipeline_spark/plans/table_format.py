@@ -541,3 +541,41 @@ class LakehouseTable:
             "missing_in_target": missing,
             "extra_in_target": extra,
         }
+
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Garbage-collect history: keep the newest `keep_last` snapshots,
+        delete snapshot jsons and any data files no kept snapshot references
+        (Iceberg's expire_snapshots + orphan-file cleanup). Time travel only
+        works within the kept window afterwards. Safe under the single-writer
+        assumption: the current snapshot is always kept."""
+        cur = self.current_snapshot()
+        all_snaps = sorted(
+            int(f[len("snapshot-"):-len(".json")])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        )
+        keep_ids = set(all_snaps[-keep_last:]) | {cur["snapshot_id"]}
+        live_files: set[str] = set()
+        for sid in keep_ids:
+            live_files.update(e["path"] for e in self.snapshot_by_id(sid)["files"])
+
+        removed_files = 0
+        data_dir = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(data_dir, topdown=False):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if f.endswith(".parquet") and rel not in live_files:
+                    os.remove(full)
+                    removed_files += 1
+            if not os.listdir(root) and root != data_dir:
+                os.rmdir(root)
+
+        removed_snaps = 0
+        for sid in all_snaps:
+            if sid not in keep_ids:
+                os.remove(os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
+                removed_snaps += 1
+        return {"kept": sorted(keep_ids), "removed_snapshots": removed_snaps,
+                "removed_files": removed_files}

@@ -42,6 +42,7 @@ class IngestJob:
         decoder: str = "pandas",  # "pandas" (Arrow UDF, north-rule default) | "sql" (from_json)
         on_error: str = "abort",  # "abort" (fail batch, resume from ckpt) | "quarantine"
         quarantine_path: str | None = None,
+        archive_path: str | None = None,  # raw batch archive (reference K2 file writer)
     ):
         assert on_error in ("abort", "quarantine")
         self.table = LakehouseTable(table_path)
@@ -50,6 +51,7 @@ class IngestJob:
         self.decoder = decoder
         self.on_error = on_error
         self.quarantine_path = quarantine_path or os.path.join(control_path, "..", "quarantine")
+        self.archive_path = archive_path
         os.makedirs(control_path, exist_ok=True)
 
     # ------------------------------------------------------------- one batch
@@ -61,6 +63,15 @@ class IngestJob:
         def mark(label: str) -> None:
             if debug:
                 marks.append((label, time.monotonic() - t0))
+
+        if self.archive_path:
+            # raw replay archive (reference: flat-file writer between extract
+            # and apply — data_pipeline/stream file writer, SURVEY.md §2 K2);
+            # per-batch dir + overwrite = idempotent under batch replay
+            raw.write.mode("overwrite").parquet(
+                os.path.join(self.archive_path, f"batch={batch_id}")
+            )
+            mark("archive")
 
         # DDL branch (reference: applier DDL routing, SURVEY.md §2 T3/T8).
         # DDL rows are rare and tiny — driver-side metadata ops, in LSN order.
