@@ -127,6 +127,78 @@ def cdc_apply_merge(spark, sf_dir):
 
 
 @query(
+    "cdc_partial_image_fold",
+    """
+    WITH chg AS (
+      SELECT event_id AS lsn, user_id,
+             CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             CAST(json_extract(props, '$.k') AS INT) AS k,
+             (event_id % 2 = 0 OR event_id % 3 <> 0) AS set_value,
+             (event_id % 3 = 0) AS set_k
+      FROM events
+    ),
+    bnd AS (
+      SELECT user_id,
+             max(lsn) FILTER (WHERE op IN ('I','D')) AS bnd_lsn,
+             arg_max(op, lsn) FILTER (WHERE op IN ('I','D')) AS bnd_op
+      FROM chg GROUP BY user_id
+    )
+    SELECT c.user_id,
+           max(c.lsn) AS lsn,
+           ROUND(arg_max(c.value, c.lsn) FILTER (
+             WHERE (c.op = 'I' OR c.set_value) AND c.lsn >= b.bnd_lsn), 2) AS value,
+           arg_max(c.k, c.lsn) FILTER (
+             WHERE (c.op = 'I' OR c.set_k) AND c.lsn >= b.bnd_lsn) AS k
+    FROM chg c JOIN bnd b USING (user_id)
+    WHERE b.bnd_op = 'I'
+    GROUP BY c.user_id
+    """,
+)
+def cdc_partial_image_fold(spark, sf_dir):
+    """Partial-row-image sequential-apply fold (operators/merge.py
+    merge_changeset_partial): signup=INSERT (full image), error=DELETE,
+    else UPDATE setting a deterministic column subset. Final state per user:
+    exists iff the last I/D op is an I; each column = latest at-or-after-
+    boundary op that set it — the reference applier's one-statement-at-a-time
+    semantics (data_pipeline/applier/*, SURVEY.md §2 T5), parallelized as one
+    map-side-combinable aggregation."""
+    from data_pipeline_spark.operators.merge import MASK_COL, merge_changeset_partial
+
+    ev = _t(spark, sf_dir, "events")
+    set_value = (F.col("event_id") % 2 == 0) | (F.col("event_id") % 3 != 0)
+    set_k = F.col("event_id") % 3 == 0
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    # field bits: value -> 1, k -> 2
+    mask = (
+        F.when(op == "I", F.lit(-1))
+        .when(op == "D", F.lit(0))
+        .otherwise(
+            F.when(set_value, F.lit(1 << 1)).otherwise(F.lit(0))
+            + F.when(set_k, F.lit(1 << 2)).otherwise(F.lit(0))
+        )
+    ).cast("long")
+    chg = ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        mask.alias(MASK_COL),
+        F.col("user_id"),
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    live = merge_changeset_partial(
+        None, chg, field_bits={"value": 1, "k": 2}, keys=("user_id",), extra_cols=()
+    )
+    return live.select(
+        "user_id", "lsn", F.round("value", 2).alias("value"), F.col("k")
+    )
+
+
+@query(
     "recovery_filter_counts",
     """
     SELECT event_type,

@@ -39,11 +39,24 @@ _PD_CAST = {
 }
 
 
+def _presence_pattern(name: str) -> str:
+    """Regex matching a top-level JSON key in the raw payload. Sound for the
+    flat payloads the feed carries: inside a JSON string value every double
+    quote is escaped (\\"), so a literal `"name":` can only be a key; the
+    lookbehind rejects the escaped form. This is how partial-row images
+    distinguish `{"tool": null}` (SET tool = NULL) from an absent key (column
+    untouched) without any per-row parsing."""
+    import re as _re
+
+    return rf'(?<!\\)"{_re.escape(name)}"\s*:'
+
+
 def _decode_batch(
     pdf: pd.DataFrame,
     table_fields: list[tuple[str, str]],
     renames: dict[str, list[str]],
     with_validity: bool = False,
+    field_bits: dict[str, int] | None = None,
 ) -> pd.DataFrame:
     """Decode one Arrow batch. table_fields = [(name, simple_type), ...] for
     the current schema version (excluding key columns); renames maps a
@@ -100,6 +113,21 @@ def _decode_batch(
         elif typ in _PD_CAST:
             col = col.astype(_PD_CAST[typ])
         out[name] = col
+    if field_bits is not None:
+        # Partial-row-image mode: presence bitmask per row (bit = field id).
+        # I = full image (-1), D = nothing (0), U = the keys its payload
+        # carries — all computed with vectorized C-level regex, no per-row
+        # Python (the north rule).
+        mask = pd.Series(0, index=pdf.index, dtype="int64")
+        raw = pdf["payload"].fillna("")
+        for name, fid in field_bits.items():
+            pres = raw.str.contains(_presence_pattern(name), regex=True)
+            for old in renames.get(name, []):
+                pres = pres | raw.str.contains(_presence_pattern(old), regex=True)
+            mask = mask + pres.astype("int64") * (1 << fid)
+        is_i = pdf["op"] == "I"
+        is_d = pdf["op"] == "D"
+        out["_set_mask"] = mask.where(~is_i, -1).where(~is_d, 0)
     if with_validity:
         # a DML row must have a parseable payload and a key to be applicable
         missing_key = out["conv_id"].isna() | out["turn_idx"].isna()
@@ -116,6 +144,7 @@ def decode_events(
     table_schema: T.StructType,
     renames: dict[str, list[str]] | None = None,
     with_validity: bool = False,
+    field_bits: dict[str, int] | None = None,
 ) -> DataFrame:
     """Arrow-vectorized decode of DML change records (op != 'DDL').
 
@@ -128,6 +157,10 @@ def decode_events(
     """
     renames = renames or {}
     out_schema = decoded_schema(table_schema)
+    if field_bits is not None:
+        out_schema = T.StructType(
+            out_schema.fields + [T.StructField("_set_mask", T.LongType(), True)]
+        )
     if with_validity:
         out_schema = T.StructType(
             out_schema.fields
@@ -138,7 +171,7 @@ def decode_events(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_batch(pdf, fields, renames, with_validity)
+            yield _decode_batch(pdf, fields, renames, with_validity, field_bits)
 
     dml = raw.where(F.col("op") != "DDL")
     return dml.mapInPandas(fn, schema=out_schema)
@@ -149,6 +182,7 @@ def decode_events_sql(
     table_schema: T.StructType,
     renames: dict[str, list[str]] | None = None,
     with_validity: bool = False,
+    field_bits: dict[str, int] | None = None,
 ) -> DataFrame:
     """Catalyst-only decode via ``from_json`` — same output contract as
     ``decode_events``; stays entirely inside whole-stage codegen."""
@@ -182,6 +216,21 @@ def decode_events_sql(
         if isinstance(f.dataType, T.TimestampType):
             expr = F.to_timestamp(expr, "yyyy-MM-dd'T'HH:mm:ss")
         cols.append(expr.alias(f.name))
+    if field_bits is not None:
+        # presence bitmask via JVM-side rlike on the raw payload — same
+        # semantics as the pandas path (see _presence_pattern)
+        mask = F.lit(0).cast("long")
+        for name, fid in field_bits.items():
+            pres = F.col("payload").rlike(_presence_pattern(name))
+            for old in renames.get(name, []):
+                pres = pres | F.col("payload").rlike(_presence_pattern(old))
+            mask = mask + F.when(pres, F.lit(1 << fid).cast("long")).otherwise(F.lit(0).cast("long"))
+        mask = (
+            F.when(F.col("op") == "I", F.lit(-1).cast("long"))
+            .when(F.col("op") == "D", F.lit(0).cast("long"))
+            .otherwise(mask)
+        )
+        cols.append(mask.alias("_set_mask"))
     if with_validity:
         err = (
             F.when(

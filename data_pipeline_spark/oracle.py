@@ -56,3 +56,60 @@ def reduce_feed(events: pd.DataFrame) -> pd.DataFrame:
     if "tokens" in out.columns:
         out["tokens"] = out["tokens"].astype("Int64")
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def reduce_feed_sequential(events: pd.DataFrame) -> pd.DataFrame:
+    """Sequential-apply oracle for PARTIAL-row-image feeds: per key, replay
+    ops strictly in LSN order exactly as the reference applier executes DML
+    (one statement at a time):
+
+    - I: the row becomes the full image (schema columns absent from the
+         payload are null);
+    - U: only the payload's keys are SET (a present null sets NULL; an
+         absent key leaves the column untouched); an U whose key has no
+         current row affects 0 rows (no-op);
+    - D: the row is removed; later Us on the key are no-ops until a new I.
+
+    DDL timeline applies as in `reduce_feed` (adds null-filled, renames
+    metadata-only — old payload keys map to the renamed column, widens
+    preserve values). Deliberately per-row Python: this is the slow truth
+    the engine's distributed fold is compared against.
+    """
+    ddl = events[events["op"] == "DDL"].sort_values("lsn")
+    renames: dict[str, str] = {}
+    added: list[str] = []
+    for _, row in ddl.iterrows():
+        d = json.loads(row["payload"])
+        if d["action"] == "add_column":
+            added.append(d["name"])
+        elif d["action"] == "rename_column":
+            renames[d["old"]] = d["new"]
+
+    final_cols = [renames.get(c, c) for c in BASE_COLUMNS] + added
+
+    dml = events[events["op"] != "DDL"].sort_values("lsn")
+    state: dict[tuple, dict] = {}
+    for _, row in dml.iterrows():
+        key = (row["conv_id"], row["turn_idx"])
+        op = row["op"]
+        if op == "D":
+            state.pop(key, None)
+            continue
+        img = json.loads(row["payload"]) if row["payload"] else {}
+        img = {renames.get(k, k): v for k, v in img.items()}
+        if op == "I":
+            state[key] = {c: img.get(c) for c in final_cols}
+        elif op == "U":
+            if key in state:
+                state[key].update({k: v for k, v in img.items() if k in final_cols})
+
+    out = pd.DataFrame(
+        [
+            {"conv_id": k[0], "turn_idx": k[1], **v}
+            for k, v in state.items()
+        ],
+        columns=["conv_id", "turn_idx"] + final_cols,
+    )
+    if "tokens" in out.columns:
+        out["tokens"] = out["tokens"].astype("Int64")
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

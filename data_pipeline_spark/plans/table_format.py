@@ -55,8 +55,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_pipeline_spark.operators.merge import merge_changeset
-from data_pipeline_spark.schemas import LSN_COL
+from data_pipeline_spark.operators.merge import (
+    MASK_COL,
+    merge_changeset,
+    merge_changeset_partial,
+)
+from data_pipeline_spark.schemas import LSN_COL, MERGE_KEY
 
 OP_COL = "_op"
 
@@ -146,12 +150,20 @@ class LakehouseTable:
         n_buckets: int = 128,
         merge_mode: str = "mor",
         compact_every: int = 8,
+        update_mode: str = "full",
     ) -> None:
         """Create an empty table. n_buckets bounds merge/compaction write
         parallelism — size it ≥ 4N executor cores (SURVEY.md §7 hard part c).
         merge_mode: 'mor' (delta commits + auto-compaction, the CDC design)
-        or 'cow' (rewrite affected buckets per merge)."""
+        or 'cow' (rewrite affected buckets per merge).
+
+        update_mode: 'full' (every U carries the complete row image — MSSQL
+        CT style; plain LWW merge) or 'partial' (an U carries only the
+        columns its UPDATE set — Oracle LogMiner style; sequential-apply
+        column fold; delta files persist the `_set_mask` presence bitmask,
+        keyed by field id so it survives renames)."""
         assert merge_mode in ("mor", "cow")
+        assert update_mode in ("full", "partial")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         fields = [
@@ -170,6 +182,7 @@ class LakehouseTable:
                 "schema_id": 0,
                 "n_buckets": n_buckets,
                 "merge_mode": merge_mode,
+                "update_mode": update_mode,
                 "compact_every": compact_every,
                 "delta_commits": 0,
                 "files": [],
@@ -226,6 +239,7 @@ class LakehouseTable:
         delta_e = [e for e in entries if e.get("layer") == "delta"]
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
 
+        partial = self.update_mode(snap) == "partial"
         base = self._read_parts(spark, snap, base_e, [LSN_COL])
         if base is not None:
             base = base.select(
@@ -233,7 +247,16 @@ class LakehouseTable:
             )
         if not delta_e:
             return base
-        delta = self._read_parts(spark, snap, delta_e, [LSN_COL, OP_COL])
+        delta_extra = [LSN_COL, OP_COL] + ([MASK_COL] if partial else [])
+        delta = self._read_parts(spark, snap, delta_e, delta_extra)
+        if partial:
+            delta = delta.select(
+                F.col(LSN_COL).alias("lsn"), F.col(OP_COL).alias("op"),
+                F.col(MASK_COL), *data_cols,
+            )
+            return merge_changeset_partial(
+                base, delta, self.field_bits(snap), extra_cols=()
+            )
         delta = delta.select(
             F.col(LSN_COL).alias("lsn"), F.col(OP_COL).alias("op"), *data_cols
         )
@@ -256,6 +279,21 @@ class LakehouseTable:
     # ----------------------------------------------------------------- write
     def bucket_expr(self, n_buckets: int) -> F.Column:
         return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+    def update_mode(self, snap: dict | None = None) -> str:
+        snap = snap or self.current_snapshot()
+        return snap.get("update_mode", "full")
+
+    def field_bits(self, snap: dict | None = None) -> dict[str, int]:
+        """Payload column name → field id (= its bit in `_set_mask`) for the
+        current schema. Field ids are stable across renames, so masks written
+        under an old schema stay correct."""
+        snap = snap or self.current_snapshot()
+        return {
+            f["name"]: f["id"]
+            for f in self._load_schema(snap["schema_id"])["fields"]
+            if f["name"] not in MERGE_KEY
+        }
 
     def _write_data(
         self, df: DataFrame, snapshot_id: int, schema_id: int, n_buckets: int, layer: str
@@ -372,10 +410,12 @@ class LakehouseTable:
         """Delta commit: write the changeset (deletes kept as tombstones) —
         O(batch), nothing read. Auto-compacts every `compact_every` deltas."""
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        mask_cols = [F.col(MASK_COL)] if self.update_mode(snap) == "partial" else []
         delta = changes.select(
             F.col("_bucket"),
             F.col("lsn").alias(LSN_COL),
             F.col("op").alias(OP_COL),
+            *mask_cols,
             *data_cols,
         )
         new_id = snap["snapshot_id"] + 1
@@ -404,14 +444,20 @@ class LakehouseTable:
     def _merge_cow(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
         """Copy-on-write: reconcile + rewrite only the affected buckets."""
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        partial = self.update_mode(snap) == "partial"
         existing = self._reconciled(spark, snap, buckets=affected)
         if existing is not None:
             existing = existing.select(
                 "lsn", F.lit("I").alias("op"),
                 self.bucket_expr(snap["n_buckets"]).alias("_bucket"), *data_cols,
             )
-        chg = changes.select("lsn", "op", "_bucket", *data_cols)
-        live = merge_changeset(existing, chg, data_cols).withColumnRenamed("lsn", LSN_COL)
+        if partial:
+            chg = changes.select("lsn", "op", MASK_COL, "_bucket", *data_cols)
+            live = merge_changeset_partial(existing, chg, self.field_bits(snap))
+        else:
+            chg = changes.select("lsn", "op", "_bucket", *data_cols)
+            live = merge_changeset(existing, chg, data_cols)
+        live = live.withColumnRenamed("lsn", LSN_COL)
         new_id = snap["snapshot_id"] + 1
         new_entries = self._write_data(live, new_id, snap["schema_id"], snap["n_buckets"], "base")
         carried = [e for e in snap["files"] if e["bucket"] not in affected]

@@ -50,6 +50,12 @@ class FeedSpec:
     p_update: float = 0.25
     p_delete: float = 0.049
     base_ts: str = "2026-01-01"
+    # Partial-row-image mode (Oracle LogMiner-style capture): U payloads
+    # carry only the columns the UPDATE set (random subset, occasionally an
+    # explicit null), and a small fraction of keys receive an orphan U/D
+    # before any I (the reference's UPDATE-affecting-0-rows case).
+    partial_updates: bool = False
+    p_orphan_update: float = 0.02
     ddl_lsns: dict[int, dict] = field(default_factory=dict)  # filled by generator
 
 
@@ -85,7 +91,11 @@ def generate_feed_pandas(spec: FeedSpec) -> pd.DataFrame:
     op = np.where(u < spec.p_delete, "D", np.where(u < spec.p_delete + spec.p_update, "U", "U"))
     key = conv.astype(np.int64) * 1_000 + turn.astype(np.int64)
     first = ~pd.Series(key).duplicated().to_numpy()
-    op = np.where(first, "I", op)
+    if spec.partial_updates:
+        orphan = first & (rng.random(n) < spec.p_orphan_update)
+        op = np.where(first & ~orphan, "I", op)
+    else:
+        op = np.where(first, "I", op)
 
     ts = pd.Timestamp(spec.base_ts, tz=None) + pd.to_timedelta(lsn, unit="s")
 
@@ -136,19 +146,51 @@ def generate_feed_pandas(spec: FeedSpec) -> pd.DataFrame:
         idx.to_numpy() > renamed_at if renamed_at is not None else np.zeros(len(idx), dtype=bool)
     )
     tool_key = np.where(after_rename, "tool_name", "tool")
-    payload = (
-        '{"role":"' + pd.Series(role, index=idx)
-        + '","text":"' + text
-        + '","ts":"' + ts_str + '"'
+    has_tokens = idx.to_numpy() > tokens_at if tokens_at is not None else np.zeros(len(idx), dtype=bool)
+    tok_vals = (lsn[idx] % 512).astype(str)
+
+    is_i = (df.loc[idx, "op"] == "I").to_numpy()
+    if spec.partial_updates:
+        # per-field SET draws for U rows (I rows always carry the full image)
+        m = len(idx)
+        set_role = rng.random(m) < 0.30
+        set_text = rng.random(m) < 0.55
+        set_ts = rng.random(m) < 0.25
+        set_tool = rng.random(m) < 0.25
+        set_tool_null = rng.random(m) < 0.08  # explicit "tool": null (SET NULL)
+        set_tokens = rng.random(m) < 0.35
+    else:
+        ones = np.ones(len(idx), dtype=bool)
+        set_role = set_text = set_ts = ones
+        set_tool = ones
+        set_tool_null = np.zeros(len(idx), dtype=bool)
+        set_tokens = ones
+
+    incl_role = is_i | set_role
+    incl_ts = is_i | set_ts
+    # tool key: on I rows only tool turns carry it (full image: absent = null);
+    # on partial U rows it may be set to a value (tool turns) or explicitly
+    # nulled (any turn)
+    incl_tool_val = is_tool & (is_i | set_tool)
+    incl_tool_null = (~is_i) & (~incl_tool_val) & set_tool_null & spec.partial_updates
+    incl_tokens = has_tokens & (is_i | set_tokens)
+    # every U must set at least one column (an empty UPDATE is not a thing)
+    any_set = incl_role | incl_ts | incl_tool_val | incl_tool_null | incl_tokens | set_text
+    incl_text = is_i | set_text | ~any_set
+
+    def frag(incl: np.ndarray, body: pd.Series) -> pd.Series:
+        return pd.Series(np.where(incl, "," + body, ""), index=idx)
+
+    tool_key_s = pd.Series(tool_key, index=idx)
+    parts = (
+        frag(incl_role, '"role":"' + pd.Series(role, index=idx) + '"')
+        + frag(incl_text, '"text":"' + text + '"')
+        + frag(incl_ts, '"ts":"' + ts_str + '"')
+        + frag(incl_tool_val, '"' + tool_key_s + '":"' + pd.Series(tool_name, index=idx) + '"')
+        + frag(incl_tool_null, '"' + tool_key_s + '":null')
+        + frag(incl_tokens, '"tokens":' + pd.Series(tok_vals, index=idx))
     )
-    tool_frag = np.where(is_tool, ',"' + pd.Series(tool_key, index=idx) + '":"' + pd.Series(tool_name, index=idx) + '"', "")
-    payload = payload + pd.Series(tool_frag, index=idx)
-    if tokens_at is not None:
-        has_tokens = idx.to_numpy() > tokens_at
-        tok_vals = (lsn[idx] % 512).astype(str)
-        tok_frag = np.where(has_tokens, ',"tokens":' + pd.Series(tok_vals, index=idx), "")
-        payload = payload + pd.Series(tok_frag, index=idx)
-    payload = payload + "}"
+    payload = "{" + parts.str.replace("^,", "", regex=True) + "}"
     df.loc[idx, "payload"] = payload
     return df
 

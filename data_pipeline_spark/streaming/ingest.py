@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_spark.functions.decode import decode_events, decode_events_sql
 from data_pipeline_spark.operators.lww import lww_dedup
+from data_pipeline_spark.operators.merge import collapse_partial
 from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.sources.feed import read_feed_batch, read_feed_stream
 
@@ -89,25 +90,36 @@ class IngestJob:
             self.table.apply_ddl(descriptors)
         mark("ddl")
 
-        schema = self.table.schema_struct()
-        renames = self.table.renames()
+        snap_now = self.table.current_snapshot()
+        schema = self.table.schema_struct(snap_now)
+        renames = self.table.renames(snap_now)
+        partial = self.table.update_mode(snap_now) == "partial"
+        field_bits = self.table.field_bits(snap_now) if partial else None
         decode = decode_events if self.decoder == "pandas" else decode_events_sql
         if self.on_error == "quarantine":
             # skip-and-continue error handling (reference: configurable
             # skip/abort + notification — SURVEY.md §2 T11): malformed
             # records land in a dead-letter parquet dir with the reason.
-            flagged = decode(raw, schema, renames, with_validity=True)
+            flagged = decode(raw, schema, renames, with_validity=True, field_bits=field_bits)
             bad = flagged.where(~F.col("_valid"))
             bad.write.mode("append").parquet(
                 os.path.join(self.quarantine_path, f"batch={batch_id}")
             )
             decoded = flagged.where(F.col("_valid")).drop("_valid", "_error")
         else:
-            decoded = decode(raw, schema, renames)
+            decoded = decode(raw, schema, renames, field_bits=field_bits)
         mark("decode-quarantine")
-        n_buckets = self.table.current_snapshot()["n_buckets"]
+        n_buckets = snap_now["n_buckets"]
+        # Per-batch per-key collapse: full-row images take the max-LSN op
+        # (LWW); partial images must COMPOSE stacked updates column-wise, so
+        # they go through the sequential-apply fold instead (both are single
+        # map-side-combinable aggregations — SURVEY.md §2 T5).
+        if partial:
+            collapsed = collapse_partial(decoded, field_bits)
+        else:
+            collapsed = lww_dedup(decoded, salt=self.salt)
         deduped = (
-            lww_dedup(decoded, salt=self.salt)
+            collapsed
             .withColumn("_bucket", self.table.bucket_expr(n_buckets))
             .persist()
         )
