@@ -588,6 +588,129 @@ class LakehouseTable:
             "extra_in_target": extra,
         }
 
+    # ------------------------------------------------------- changelog / CDC-out
+    def history(self) -> list[dict]:
+        """Snapshot chain, oldest→newest (follows parent pointers from the
+        current snapshot; snapshots dropped by expire_snapshots are absent)."""
+        chain = []
+        snap = self.current_snapshot()
+        while snap is not None:
+            chain.append(snap)
+            pid = snap.get("parent")
+            if pid is None:
+                break
+            try:
+                snap = self.snapshot_by_id(pid)
+            except FileNotFoundError:
+                break
+        return list(reversed(chain))
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog read (Iceberg's incremental scan / CDC-out):
+        the change rows committed AFTER `from_snapshot_id` up to and
+        including `to_snapshot_id` (default: current). Lets a downstream
+        pipeline chain off this table without re-reading it.
+
+        Emitted columns: _snapshot_id, _batch_id, _change_op (I/U/D — D rows
+        are the tombstones), lsn, <table columns> (+ `_set_mask` on partial
+        tables: null/-1 = full image). Sources per snapshot kind:
+        - merge (MOR): its delta files — the collapsed changeset verbatim;
+        - merge (COW): not reconstructable from files alone → raises (use
+          MOR for changelog consumers, same trade as Iceberg COW);
+        - overwrite: every written row, as inserts;
+        - create/ddl/compact/rollback: no logical row changes.
+        """
+        chain = self.history()
+        ids = [s["snapshot_id"] for s in chain]
+        if from_snapshot_id not in ids:
+            raise ValueError(f"snapshot {from_snapshot_id} not in retained history {ids}")
+        to_id = to_snapshot_id if to_snapshot_id is not None else ids[-1]
+        cur = self.current_snapshot()
+        partial = self.update_mode(cur) == "partial"
+        out_parts: list[DataFrame] = []
+        prev_files: set[str] = {
+            e["path"] for s in chain if s["snapshot_id"] <= from_snapshot_id for e in s["files"]
+        }
+        data_cols = [f["name"] for f in self._load_schema(cur["schema_id"])["fields"]]
+        for s in chain:
+            sid = s["snapshot_id"]
+            if sid <= from_snapshot_id or sid > to_id:
+                continue
+            new_entries = [e for e in s["files"] if e["path"] not in prev_files]
+            prev_files.update(e["path"] for e in s["files"])
+            if s["kind"] in ("create", "ddl", "compact", "rollback") or not new_entries:
+                continue
+            if s["kind"] == "merge":
+                deltas = [e for e in new_entries if e.get("layer") == "delta"]
+                if not deltas:
+                    raise ValueError(
+                        f"snapshot {sid} is a COW merge — changelog read needs "
+                        "merge_mode='mor' (delta files are the changelog)"
+                    )
+                extra = [LSN_COL, OP_COL] + ([MASK_COL] if partial else [])
+                df = self._read_parts(spark, cur, deltas, extra)
+                df = df.select(
+                    F.lit(sid).alias("_snapshot_id"),
+                    F.lit(s.get("batch_id")).cast("long").alias("_batch_id"),
+                    F.col(OP_COL).alias("_change_op"),
+                    F.col(LSN_COL).alias("lsn"),
+                    *data_cols,
+                    *([F.col(MASK_COL)] if partial else []),
+                )
+            else:  # overwrite: full load = all rows as inserts
+                df = self._read_parts(spark, cur, new_entries, [LSN_COL])
+                df = df.select(
+                    F.lit(sid).alias("_snapshot_id"),
+                    F.lit(s.get("batch_id")).cast("long").alias("_batch_id"),
+                    F.lit("I").alias("_change_op"),
+                    F.col(LSN_COL).alias("lsn"),
+                    *data_cols,
+                    *([F.lit(None).cast("long").alias(MASK_COL)] if partial else []),
+                )
+            out_parts.append(df)
+        if not out_parts:
+            schema = T.StructType(
+                [
+                    T.StructField("_snapshot_id", T.LongType()),
+                    T.StructField("_batch_id", T.LongType()),
+                    T.StructField("_change_op", T.StringType()),
+                    T.StructField("lsn", T.LongType()),
+                ]
+                + list(self.schema_struct(cur).fields)
+                + ([T.StructField(MASK_COL, T.LongType())] if partial else [])
+            )
+            return spark.createDataFrame([], schema)
+        df = out_parts[0]
+        for p in out_parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def rollback_to(self, snapshot_id: int) -> dict:
+        """Roll the table back to a previous snapshot's state (Iceberg
+        `rollback_to_snapshot`): commits a NEW snapshot whose files, schema,
+        watermark and batch progress are the old ones — history stays intact
+        and snapshot ids stay monotonic. Replaying batches after the rolled-
+        back point re-applies them (their batch_ids exceed the restored
+        last_batch_id)."""
+        target = self.snapshot_by_id(snapshot_id)
+        cur = self.current_snapshot()
+        new = {
+            **target,
+            "snapshot_id": cur["snapshot_id"] + 1,
+            "parent": cur["snapshot_id"],
+            "kind": "rollback",
+            "batch_id": None,
+            "stats": {"rolled_back_to": snapshot_id},
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {"skipped": False, "snapshot_id": new["snapshot_id"], "restored": snapshot_id}
+
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Garbage-collect history: keep the newest `keep_last` snapshots,
