@@ -1090,3 +1090,199 @@ def token_counts_regex(spark, sf_dir):
         F.size(F.split("text", " ")).alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias("bpe_ish_tokens"),
     )
+
+
+# =========================================================================
+# Relational coverage widening (SURVEY.md §2.2): as-of join, sessionization,
+# grouping sets, exact percentiles, interval (range) join.
+# =========================================================================
+
+@query(
+    "asof_prev_click_per_purchase",
+    """
+    SELECT event_id AS purchase_id, user_id,
+           prev_click_id, ROUND(prev_click_value, 2) AS prev_click_value
+    FROM (
+      SELECT event_id, user_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS prev_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER w AS prev_click_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_prev_click_per_purchase(spark, sf_dir):
+    """AS-OF join expressed as a running last-non-null over the ordered
+    stream (no pairwise join at all): for each purchase, the user's most
+    recent preceding click. One shuffle on user_id; scales linearly —
+    the classic merge_asof semantics without a range join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_val = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_click_id", click_id)
+        .withColumn("prev_click_value", F.round(click_val, 2))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            "prev_click_id", "prev_click_value",
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS first_event_id,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) — lag + running sum
+    of session starts, then per-session aggregation. The batch analog of
+    Structured Streaming's session_window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("_min_ts"),
+        F.max("ts").alias("_max_ts"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    ).select(
+        "user_id", "session_idx", "n_events", "first_event_id",
+        F.expr("timestampdiff(MICROSECOND, _min_ts, _max_ts)").cast("long").alias("duration_us"),
+        "session_value",
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS (partial rollup lattice) — one pass, Catalyst expands
+    to a single Expand + hash aggregate (no N scans)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           ROUND(AVG(value), 4) AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap to approx_percentile (t-digest,
+    mergeable partial aggregation); exact here so the oracle can match."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+@query(
+    "interval_join_signup_followup",
+    """
+    SELECT s.event_id AS signup_id, s.user_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_followups,
+           ROUND(COALESCE(SUM(e.value), 0), 2) AS followup_value
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def interval_join_signup_followup(spark, sf_dir):
+    """Interval (range) join: activity within 1 h after each signup. The
+    equi-key (user_id) keeps it a hash join with a range residual — no
+    cartesian blowup. The signup side is tiny but outer-PRESERVED, so it
+    cannot be the hash build side of a left join; AQE picks the strategy
+    (shuffled hash at this shape)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    s = signups.alias("s")
+    e = ev.alias("e")
+    joined = s.join(
+        e,
+        on=(
+            (F.col("s.user_id") == F.col("e.user_id"))
+            & (F.col("e.ts") > F.col("s.signup_ts"))
+            & (F.col("e.ts") <= F.col("s.signup_ts") + F.expr("INTERVAL 1 HOUR"))
+        ),
+        how="left",
+    )
+    return joined.groupBy(
+        F.col("s.signup_id").alias("signup_id"), F.col("s.user_id").alias("user_id")
+    ).agg(
+        F.count(F.col("e.event_id")).alias("n_followups"),
+        F.round(F.coalesce(F.sum(F.col("e.value")), F.lit(0)), 2).alias("followup_value"),
+    )
