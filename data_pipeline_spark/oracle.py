@@ -22,17 +22,28 @@ from data_pipeline_spark.schemas import OP_RANK
 BASE_COLUMNS = ["role", "text", "tool", "ts"]
 
 
-def reduce_feed(events: pd.DataFrame) -> pd.DataFrame:
-    """events: CHANGE_EVENT_SCHEMA-shaped pandas frame → expected final table."""
-    ddl = events[events["op"] == "DDL"].sort_values("lsn")
+def _ddl_timeline(events: pd.DataFrame):
+    """Replay the DDL events: (renames old->new, added cols, dropped cols)."""
     renames: dict[str, str] = {}
     added: list[str] = []
+    dropped: set[str] = set()
+    ddl = events[events["op"] == "DDL"].sort_values("lsn")
     for _, row in ddl.iterrows():
         d = json.loads(row["payload"])
         if d["action"] == "add_column":
             added.append(d["name"])
+            dropped.discard(d["name"])
         elif d["action"] == "rename_column":
             renames[d["old"]] = d["new"]
+        elif d["action"] == "drop_column":
+            dropped.add(d["name"])
+    return renames, added, dropped
+
+
+
+def reduce_feed(events: pd.DataFrame) -> pd.DataFrame:
+    """events: CHANGE_EVENT_SCHEMA-shaped pandas frame → expected final table."""
+    renames, added, dropped = _ddl_timeline(events)
 
     dml = events[events["op"] != "DDL"].copy()
     dml["_rank"] = dml["op"].map(OP_RANK)
@@ -40,7 +51,7 @@ def reduce_feed(events: pd.DataFrame) -> pd.DataFrame:
     last = dml.groupby(["conv_id", "turn_idx"], as_index=False).last()
     live = last[last["op"] != "D"].copy()
 
-    cols = [renames.get(c, c) for c in BASE_COLUMNS] + added
+    cols = [c for c in ([renames.get(c, c) for c in BASE_COLUMNS] + added) if c not in dropped]
     parsed = pd.DataFrame(
         [json.loads(p) if p else {} for p in live["payload"]], index=live.index
     )
@@ -75,17 +86,8 @@ def reduce_feed_sequential(events: pd.DataFrame) -> pd.DataFrame:
     preserve values). Deliberately per-row Python: this is the slow truth
     the engine's distributed fold is compared against.
     """
-    ddl = events[events["op"] == "DDL"].sort_values("lsn")
-    renames: dict[str, str] = {}
-    added: list[str] = []
-    for _, row in ddl.iterrows():
-        d = json.loads(row["payload"])
-        if d["action"] == "add_column":
-            added.append(d["name"])
-        elif d["action"] == "rename_column":
-            renames[d["old"]] = d["new"]
-
-    final_cols = [renames.get(c, c) for c in BASE_COLUMNS] + added
+    renames, added, dropped = _ddl_timeline(events)
+    final_cols = [c for c in ([renames.get(c, c) for c in BASE_COLUMNS] + added) if c not in dropped]
 
     dml = events[events["op"] != "DDL"].sort_values("lsn")
     state: dict[tuple, dict] = {}

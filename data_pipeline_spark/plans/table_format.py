@@ -549,6 +549,17 @@ class LakehouseTable:
                 if (f["type"], d["to"]) not in _WIDENS:
                     raise ValueError(f"illegal widen {f['type']} -> {d['to']}")
                 f["type"] = d["to"]
+            elif action == "drop_column":
+                f = by_name.pop(d["name"], None)
+                if f is None:
+                    continue  # already dropped (replay)
+                if f["name"] in MERGE_KEY:
+                    raise ValueError(f"cannot drop merge key column {d['name']}")
+                fields = [x for x in fields if x["id"] != f["id"]]
+                # metadata-only: data files keep the column; the field-id
+                # projection in _read_parts simply stops selecting it. A
+                # re-added column with the same name gets a NEW field id, so
+                # old values do not resurface (Iceberg drop semantics).
             else:
                 raise ValueError(f"unknown DDL action {action}")
         new_schema_id = snap["schema_id"] + 1

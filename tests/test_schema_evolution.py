@@ -101,3 +101,63 @@ def test_ddl_replay_idempotent(spark, tmp_path):
     tbl.apply_ddl(ddls)  # replay
     fields2 = tbl._load_schema(tbl.current_snapshot()["schema_id"])["fields"]
     assert fields1 == fields2
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN: metadata-only; files keep the bytes but reads stop
+    projecting them; a re-added column with the same name gets a fresh field
+    id, so old values do NOT resurface (Iceberg drop semantics)."""
+    from pyspark.sql import functions as F
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    rows = spark.createDataFrame(
+        [("c1", 0, "tool", "hello", "search", None), ("c2", 0, "user", "hi", None, None)],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    tbl.overwrite(spark, rows)
+
+    tbl.apply_ddl([{"action": "drop_column", "name": "tool"}])
+    got = tbl.read(spark)
+    assert "tool" not in got.columns
+    assert got.count() == 2
+
+    # replay-idempotent
+    tbl.apply_ddl([{"action": "drop_column", "name": "tool"}])
+    assert "tool" not in tbl.read(spark).columns
+
+    # re-add: fresh field id -> old values stay buried
+    tbl.apply_ddl([{"action": "add_column", "name": "tool", "type": "string"}])
+    readd = tbl.read(spark).toPandas()
+    assert readd["tool"].isna().all()
+
+    # key columns are not droppable
+    with pytest.raises(ValueError, match="merge key"):
+        tbl.apply_ddl([{"action": "drop_column", "name": "conv_id"}])
+
+
+def test_drop_column_mid_feed_oracle(spark, tmp_path):
+    """A DDL drop mid-feed: later events stop carrying the column, the final
+    table lacks it, and the oracle agrees."""
+    import json as _json
+
+    pdf = generate_feed_pandas(FeedSpec(n_events=4_000, n_convs=100, seed=9, chunk_size=1_000))
+    # inject a drop at 60% of the feed
+    i = int(0.6 * len(pdf))
+    pdf.loc[i, ["op", "conv_id"]] = ["DDL", None]
+    pdf.loc[i, "turn_idx"] = None
+    pdf.loc[i, "payload"] = _json.dumps({"action": "drop_column", "name": "tool"})
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for c in range(4):
+        pdf.iloc[c * 1000 : (c + 1) * 1000].to_parquet(
+            str(feed / f"chunk-{c:06d}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    job = IngestJob(str(tmp_path / "t"), str(tmp_path / "ctl"))
+    job.table.create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    job.run_to_completion(spark, str(feed), str(tmp_path / "cp"), max_files_per_trigger=1)
+    got = job.table.read(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = reduce_feed(pdf)
+    assert "tool" not in got.columns and "tool" not in exp.columns
+    assert got["text"].tolist() == exp["text"].tolist()
