@@ -372,8 +372,16 @@ class LakehouseTable:
         if "_bucket" not in changes.columns:
             changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
 
-        # Affected-bucket set + max LSN: tiny collect, or caller-provided
-        # (the ingest loop folds them into its lineage-metrics pass).
+        if snap.get("merge_mode", "cow") == "mor":
+            # MOR is write-first: the changeset is written in ONE pass
+            # (decode → collapse → bucketed write, no persist, no probe
+            # job), then lineage metrics and the watermark come from a
+            # thin-column scan of the just-written delta files.
+            return self._merge_mor(spark, snap, batch_id, changes)
+
+        # COW needs the affected-bucket set BEFORE reading existing buckets:
+        # tiny probe collect, or caller-provided (the ingest loop folds it
+        # into its lineage-metrics pass).
         if affected_hint is not None and max_lsn_hint is not None:
             affected = set(affected_hint)
             new_watermark = max(watermark, max_lsn_hint)
@@ -387,28 +395,33 @@ class LakehouseTable:
             new_watermark = max(watermark, head["m"] or 0)
 
         if not affected:
-            # fully-duplicate batch: metadata-only commit advancing batch_id
-            new = {
-                **snap,
-                "snapshot_id": snap["snapshot_id"] + 1,
-                "parent": snap["snapshot_id"],
-                "kind": "merge",
-                "batch_id": batch_id,
-                "last_batch_id": batch_id,
-                "stats": {"affected_buckets": 0},
-                "committed_at": time.time(),
-            }
-            self._commit(new)
-            return {"skipped": False, "batch_id": batch_id, "snapshot_id": new["snapshot_id"],
-                    "affected_buckets": 0, "rows_filtered_by_watermark": True}
-
-        if snap.get("merge_mode", "cow") == "mor":
-            return self._merge_mor(spark, snap, batch_id, changes, affected, new_watermark)
+            return self._commit_noop_merge(snap, batch_id)
         return self._merge_cow(spark, snap, batch_id, changes, affected, new_watermark)
 
-    def _merge_mor(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
-        """Delta commit: write the changeset (deletes kept as tombstones) —
-        O(batch), nothing read. Auto-compacts every `compact_every` deltas."""
+    def _commit_noop_merge(self, snap, batch_id) -> dict:
+        """Fully-duplicate batch: metadata-only commit advancing batch_id."""
+        new = {
+            **snap,
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "parent": snap["snapshot_id"],
+            "kind": "merge",
+            "batch_id": batch_id,
+            "last_batch_id": batch_id,
+            "stats": {"affected_buckets": 0},
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {"skipped": False, "batch_id": batch_id, "snapshot_id": new["snapshot_id"],
+                "affected_buckets": 0, "rows_filtered_by_watermark": True}
+
+    def _merge_mor(self, spark, snap, batch_id, changes) -> dict:
+        """Delta commit, write-first: write the changeset (deletes kept as
+        tombstones) — O(batch), nothing read, ONE action over the whole
+        decode→collapse→write pipeline. Per-bucket lineage metrics (rows,
+        deletes, watermark LSN) then come from the written files, reading
+        only the three engine columns of the collapsed rows — instead of
+        running the full upstream pipeline a second time. Auto-compacts
+        every `compact_every` deltas."""
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
         mask_cols = [F.col(MASK_COL)] if self.update_mode(snap) == "partial" else []
         delta = changes.select(
@@ -420,6 +433,28 @@ class LakehouseTable:
         )
         new_id = snap["snapshot_id"] + 1
         entries = self._write_data(delta, new_id, snap["schema_id"], snap["n_buckets"], "delta")
+        if not entries:
+            return self._commit_noop_merge(snap, batch_id)
+
+        delta_dir = os.path.join(self.path, f"data/s{new_id}")
+        stats = (
+            spark.read.parquet(delta_dir)
+            .groupBy("_bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0)).alias("deleted"),
+                F.max(LSN_COL).alias("max_lsn"),
+            )
+            .collect()
+        )
+        bucket_metrics = [
+            {"bucket": int(r["_bucket"]), "rows": r["rows"],
+             "deleted": r["deleted"], "max_lsn": r["max_lsn"]}
+            for r in stats
+        ]
+        new_watermark = max(
+            [snap.get("watermark_lsn") or 0] + [m["max_lsn"] for m in bucket_metrics]
+        )
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -430,7 +465,7 @@ class LakehouseTable:
             "watermark_lsn": new_watermark,
             "delta_commits": snap.get("delta_commits", 0) + 1,
             "files": snap["files"] + entries,
-            "stats": {"affected_buckets": len(affected)},
+            "stats": {"affected_buckets": len(bucket_metrics)},
             "committed_at": time.time(),
         }
         self._commit(new)
@@ -439,7 +474,8 @@ class LakehouseTable:
             self.compact(spark)
             compacted = True
         return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
-                "affected_buckets": len(affected), "compacted": compacted}
+                "affected_buckets": len(bucket_metrics), "compacted": compacted,
+                "bucket_metrics": bucket_metrics}
 
     def _merge_cow(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
         """Copy-on-write: reconcile + rewrite only the affected buckets."""

@@ -118,35 +118,51 @@ class IngestJob:
             collapsed = collapse_partial(decoded, field_bits)
         else:
             collapsed = lww_dedup(decoded, salt=self.salt)
-        deduped = (
-            collapsed
-            .withColumn("_bucket", self.table.bucket_expr(n_buckets))
-            .persist()
-        )
-        try:
-            # Per-partition lineage/metrics BEFORE the merge consumes the
-            # frame; the same pass collects the affected-bucket set and max
-            # LSN so the merge doesn't need its own probe job.
-            metrics = (
-                deduped.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.count("*").alias("rows_applied"),
-                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-                    F.max("lsn").alias("watermark_lsn"),
-                    F.collect_set("_bucket").alias("buckets"),
-                )
-                .collect()
-            )
-            affected = {b for m in metrics for b in m.buckets}
-            max_lsn = max((m.watermark_lsn for m in metrics), default=None)
-            mark("dedup+metrics")
-            result = self.table.merge(
-                spark, batch_id, deduped,
-                affected_hint=affected, max_lsn_hint=max_lsn or 0,
-            )
+        collapsed = collapsed.withColumn("_bucket", self.table.bucket_expr(n_buckets))
+
+        if snap_now.get("merge_mode", "cow") == "mor":
+            # Write-first: decode → collapse → bucketed delta write runs as
+            # ONE action (no persist, no second pass); per-bucket lineage
+            # comes back from the merge's thin-column scan of the written
+            # delta files.
+            result = self.table.merge(spark, batch_id, collapsed)
             mark("merge")
-        finally:
-            deduped.unpersist()
+            metrics = [
+                {"partition_id": m["bucket"], "rows_applied": m["rows"],
+                 "rows_deleted": m["deleted"], "watermark_lsn": m["max_lsn"]}
+                for m in result.get("bucket_metrics", [])
+            ]
+        else:
+            # COW needs the affected-bucket set BEFORE it reads existing
+            # buckets, so the lineage pass runs first and feeds the merge
+            # its hints; persist bridges the two actions.
+            deduped = collapsed.persist()
+            try:
+                rows = (
+                    deduped.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(
+                        F.count("*").alias("rows_applied"),
+                        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+                        F.max("lsn").alias("watermark_lsn"),
+                        F.collect_set("_bucket").alias("buckets"),
+                    )
+                    .collect()
+                )
+                affected = {b for m in rows for b in m.buckets}
+                max_lsn = max((m.watermark_lsn for m in rows), default=None)
+                mark("dedup+metrics")
+                result = self.table.merge(
+                    spark, batch_id, deduped,
+                    affected_hint=affected, max_lsn_hint=max_lsn or 0,
+                )
+                mark("merge")
+            finally:
+                deduped.unpersist()
+            metrics = [
+                {"partition_id": m.partition_id, "rows_applied": m.rows_applied,
+                 "rows_deleted": m.rows_deleted, "watermark_lsn": m.watermark_lsn}
+                for m in rows
+            ]
 
         if not result.get("skipped"):
             self._write_control(batch_id, metrics, wall_ms=int((time.monotonic() - t0) * 1000))
@@ -154,22 +170,22 @@ class IngestJob:
             print(f"[apply_batch {batch_id}] " + " ".join(f"{l}={s:.2f}s" for l, s in marks))
         return result
 
-    def _write_control(self, batch_id: int, metrics, wall_ms: int) -> None:
-        counts = [m.rows_applied for m in metrics] or [0]
+    def _write_control(self, batch_id: int, metrics: list[dict], wall_ms: int) -> None:
+        counts = [m["rows_applied"] for m in metrics] or [0]
         avg = sum(counts) / len(counts)
         skew = (max(counts) / avg) if avg else 1.0
         rows = pd.DataFrame(
             {
                 "batch_id": pd.Series([batch_id] * max(len(metrics), 1), dtype="int64"),
                 "partition_id": pd.Series(
-                    [m.partition_id for m in metrics] or [0], dtype="int32"
+                    [m["partition_id"] for m in metrics] or [0], dtype="int32"
                 ),
                 "rows_applied": pd.Series(counts, dtype="int64"),
                 "rows_deleted": pd.Series(
-                    [m.rows_deleted or 0 for m in metrics] or [0], dtype="int64"
+                    [m["rows_deleted"] or 0 for m in metrics] or [0], dtype="int64"
                 ),
                 "watermark_lsn": pd.Series(
-                    [m.watermark_lsn for m in metrics] or [None], dtype="Int64"
+                    [m["watermark_lsn"] for m in metrics] or [None], dtype="Int64"
                 ),
                 "skew_ratio": pd.Series([skew] * max(len(metrics), 1), dtype="float64"),
                 "wall_ms": pd.Series([wall_ms] * max(len(metrics), 1), dtype="int64"),
