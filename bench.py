@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "lww_latest_by_user",
     "lww_salted_by_user",
     "cdc_apply_merge",
+    "cdc_partial_image_fold",
+    "asof_prev_click_per_purchase",
+    "sessionize_events",
+    "grouping_sets_revenue",
+    "events_value_percentiles",
+    "interval_join_signup_followup",
     "audit_batch_lineage",
     "pricing_summary",
     "top_revenue_orders",
@@ -70,7 +76,7 @@ def run_queries() -> dict[str, float]:
     return timings
 
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def _replay(feed_dir: str, cores: int, n_buckets: int) -> dict:

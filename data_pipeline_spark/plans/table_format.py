@@ -296,31 +296,68 @@ class LakehouseTable:
         }
 
     def _write_data(
-        self, df: DataFrame, snapshot_id: int, schema_id: int, n_buckets: int, layer: str
+        self, df: DataFrame, snapshot_id: int, schema_id: int, n_buckets: int, layer: str,
+        split_deletes: bool = False,
     ) -> list[dict]:
         """Write rows (with _bucket, _lsn and — for deltas — _op) under
         data/s<id>/, one shuffle (repartition by _bucket) so writes
-        parallelize across buckets. Returns file entries."""
+        parallelize across buckets. Returns file entries.
+
+        split_deletes=True (delta layer) additionally partitions by
+        `_del` = (op == 'D') so tombstones land in their own files — then
+        per-bucket applied/deleted row counts AND the watermark LSN all come
+        from parquet FOOTER statistics (file_stats), no data read at all:
+        the same trick as Iceberg manifests carrying per-file stats."""
         rel = f"data/s{snapshot_id}"
         out = os.path.join(self.path, rel)
+        part_cols = ["_bucket", "_del"] if split_deletes else ["_bucket"]
         (
             df.repartition(n_buckets, F.col("_bucket"))
             .write.mode("overwrite")
-            .partitionBy("_bucket")
+            .partitionBy(*part_cols)
             .parquet(out)
         )
         entries = []
-        for bdir in sorted(os.listdir(out)):
-            if not bdir.startswith("_bucket="):
+        for root, _dirs, files in sorted(os.walk(out)):
+            parts = {
+                kv.split("=", 1)[0]: kv.split("=", 1)[1]
+                for kv in os.path.relpath(root, out).split(os.sep)
+                if "=" in kv
+            }
+            if "_bucket" not in parts:
                 continue
-            b = int(bdir.split("=")[1])
-            for fn in sorted(os.listdir(os.path.join(out, bdir))):
+            for fn in sorted(files):
                 if fn.endswith(".parquet"):
-                    entries.append(
-                        {"path": f"{rel}/{bdir}/{fn}", "bucket": b,
-                         "schema_id": schema_id, "layer": layer}
-                    )
+                    e = {
+                        "path": os.path.join(rel, os.path.relpath(root, out), fn),
+                        "bucket": int(parts["_bucket"]),
+                        "schema_id": schema_id,
+                        "layer": layer,
+                    }
+                    if "_del" in parts:
+                        e["is_delete"] = parts["_del"] == "true"
+                    entries.append(e)
         return entries
+
+    def file_stats(self, entries: list[dict]) -> list[dict]:
+        """Per-file (rows, lsn_min, lsn_max) from parquet FOOTERS only —
+        O(files) metadata reads, zero data I/O. On a 1000-executor cluster
+        this is the manifest-stats pattern (writers record stats at write
+        time); here the driver reads the footers directly."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for e in entries:
+            md = pq.ParquetFile(os.path.join(self.path, e["path"])).metadata
+            lsn_idx = md.schema.names.index(LSN_COL)
+            lsn_min, lsn_max = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(lsn_idx).statistics
+                if st is not None and st.has_min_max:
+                    lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
+                    lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
+            out.append({**e, "rows": md.num_rows, "lsn_min": lsn_min, "lsn_max": lsn_max})
+        return out
 
     def overwrite(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None) -> dict:
         """Full snapshot load (the initsync path — reference:
@@ -426,32 +463,34 @@ class LakehouseTable:
         mask_cols = [F.col(MASK_COL)] if self.update_mode(snap) == "partial" else []
         delta = changes.select(
             F.col("_bucket"),
+            (F.col("op") == "D").alias("_del"),
             F.col("lsn").alias(LSN_COL),
             F.col("op").alias(OP_COL),
             *mask_cols,
             *data_cols,
         )
         new_id = snap["snapshot_id"] + 1
-        entries = self._write_data(delta, new_id, snap["schema_id"], snap["n_buckets"], "delta")
+        entries = self._write_data(
+            delta, new_id, snap["schema_id"], snap["n_buckets"], "delta", split_deletes=True
+        )
         if not entries:
             return self._commit_noop_merge(snap, batch_id)
 
-        delta_dir = os.path.join(self.path, f"data/s{new_id}")
-        stats = (
-            spark.read.parquet(delta_dir)
-            .groupBy("_bucket")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0)).alias("deleted"),
-                F.max(LSN_COL).alias("max_lsn"),
+        # Per-bucket lineage from parquet footers only (no data read, no
+        # Spark job): tombstones sit in their own partition dir, so applied
+        # vs deleted counts are file row counts, and the watermark is the
+        # max of the files' _lsn column statistics.
+        by_bucket: dict[int, dict] = {}
+        for fs in self.file_stats(entries):
+            m = by_bucket.setdefault(
+                fs["bucket"], {"bucket": fs["bucket"], "rows": 0, "deleted": 0, "max_lsn": 0}
             )
-            .collect()
-        )
-        bucket_metrics = [
-            {"bucket": int(r["_bucket"]), "rows": r["rows"],
-             "deleted": r["deleted"], "max_lsn": r["max_lsn"]}
-            for r in stats
-        ]
+            m["rows"] += fs["rows"]
+            if fs.get("is_delete"):
+                m["deleted"] += fs["rows"]
+            if fs["lsn_max"] is not None:
+                m["max_lsn"] = max(m["max_lsn"], fs["lsn_max"])
+        bucket_metrics = sorted(by_bucket.values(), key=lambda m: m["bucket"])
         new_watermark = max(
             [snap.get("watermark_lsn") or 0] + [m["max_lsn"] for m in bucket_metrics]
         )
@@ -469,9 +508,14 @@ class LakehouseTable:
             "committed_at": time.time(),
         }
         self._commit(new)
+        # Auto-compaction, bucket-targeted: fold only buckets whose delta
+        # depth (read amplification) reached compact_every — O(hot buckets)
+        # per maintenance cycle, never O(table).
+        threshold = snap.get("compact_every", 8)
+        hot = {b for b, d in self.delta_depth(new).items() if d >= threshold}
         compacted = False
-        if new["delta_commits"] >= snap.get("compact_every", 8):
-            self.compact(spark)
+        if hot:
+            self.compact(spark, buckets=hot)
             compacted = True
         return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
                 "affected_buckets": len(bucket_metrics), "compacted": compacted,
@@ -514,34 +558,60 @@ class LakehouseTable:
                 "affected_buckets": len(affected)}
 
     # ------------------------------------------------------------ compaction
-    def compact(self, spark: SparkSession) -> dict:
-        """Fold all delta layers into a fresh base: one LWW reconcile, one
-        bucketed write, tombstones dropped. A maintenance commit (no
-        batch_id); bounds MOR read amplification."""
+    def delta_depth(self, snap: dict | None = None) -> dict[int, int]:
+        """Per-bucket delta-file count = that bucket's read amplification
+        (metadata only, no I/O)."""
+        snap = snap or self.current_snapshot()
+        depth: dict[int, int] = {}
+        for e in snap["files"]:
+            if e.get("layer") == "delta":
+                depth[e["bucket"]] = depth.get(e["bucket"], 0) + 1
+        return depth
+
+    def compact(self, spark: SparkSession, buckets: set[int] | None = None) -> dict:
+        """Fold delta layers into fresh base files — tombstones dropped, one
+        reconcile + one bucketed write. A maintenance commit (no batch_id).
+
+        buckets=None compacts every bucket that has deltas (full). Passing a
+        bucket set compacts ONLY those — the 10^10-scale shape: work is
+        O(hot buckets), not O(table), so a skewed workload (one conv_id =
+        30% of events → one bucket accumulating deltas fastest) never forces
+        a full-table rewrite. Auto-compaction targets buckets whose delta
+        depth reaches `compact_every` (see _merge_mor)."""
         snap = self.current_snapshot()
-        if not any(e.get("layer") == "delta" for e in snap["files"]):
+        with_deltas = set(self.delta_depth(snap))
+        sel = with_deltas if buckets is None else (set(buckets) & with_deltas)
+        if not sel:
             return {"skipped": True}
-        rec = self._reconciled(spark, snap)
-        base = rec.select(
-            self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
-            F.col("lsn").alias(LSN_COL),
-            *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
-        )
+        rec = self._reconciled(spark, snap, buckets=sel)
         new_id = snap["snapshot_id"] + 1
-        entries = self._write_data(base, new_id, snap["schema_id"], snap["n_buckets"], "base")
+        entries: list[dict] = []
+        if rec is not None:
+            base = rec.select(
+                self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+                F.col("lsn").alias(LSN_COL),
+                *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
+            )
+            entries = self._write_data(base, new_id, snap["schema_id"], snap["n_buckets"], "base")
+        carried = [e for e in snap["files"] if e["bucket"] not in sel]
         new = {
             **snap,
             "snapshot_id": new_id,
             "parent": snap["snapshot_id"],
             "kind": "compact",
             "batch_id": None,
-            "delta_commits": 0,
-            "files": entries,
-            "stats": {"compacted_files": len(snap["files"])},
+            "delta_commits": max(
+                [0] + list(self.delta_depth({"files": carried}).values())
+            ),
+            "files": carried + entries,
+            "stats": {
+                "compacted_buckets": len(sel),
+                "compacted_files": len(snap["files"]) - len(carried),
+            },
             "committed_at": time.time(),
         }
         self._commit(new)
-        return {"skipped": False, "snapshot_id": new_id}
+        return {"skipped": False, "snapshot_id": new_id, "compacted_buckets": len(sel)}
 
     # ------------------------------------------------------------------- DDL
     def apply_ddl(self, descriptors: list[dict]) -> dict:

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # delta writes partition by (_bucket, _del); concurrent writers keep
+        # the file sink from sorting every task by the partition columns
+        .config("spark.sql.maxConcurrentOutputFileWriters", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -53,7 +53,61 @@ class IngestJob:
         self.on_error = on_error
         self.quarantine_path = quarantine_path or os.path.join(control_path, "..", "quarantine")
         self.archive_path = archive_path
+        self._checkpoint_dir: str | None = None
         os.makedirs(control_path, exist_ok=True)
+
+
+    def _batch_files(self, raw: DataFrame, batch_id: int) -> list[str]:
+        """URIs of the parquet chunk files backing this batch: inputFiles()
+        for batch reads; for streaming micro-batches (where inputFiles() is
+        empty) the file-stream source's own checkpoint manifest
+        (sources/0/<batchId>, format v1 JSON lines) — the exact file set the
+        source committed for this trigger."""
+        try:
+            files = raw.inputFiles()
+        except Exception:  # noqa: BLE001 — non-file-backed plans
+            files = []
+        if files:
+            return list(files)
+        if self._checkpoint_dir is None:
+            return []
+        manifest = os.path.join(self._checkpoint_dir, "sources", "0", str(batch_id))
+        if not os.path.exists(manifest):
+            return []
+        out = []
+        with open(manifest) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    out.append(json.loads(line)["path"])
+        return out
+
+    def _scan_ddl_files(self, raw: DataFrame, batch_id: int) -> list[tuple[int, str]] | None:
+        """Driver-side DDL detection over the micro-batch's parquet chunk
+        files (op column only). Returns None when the batch isn't backed by
+        local parquet files — caller falls back to the Spark probe."""
+        files = self._batch_files(raw, batch_id)
+        if not files:
+            return None
+        paths = []
+        for f in files:
+            if not f.startswith("file:"):
+                return None
+            paths.append(f[len("file://"):] if f.startswith("file://") else f[len("file:"):])
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            out: list[tuple[int, str]] = []
+            for path in paths:
+                ops = pq.read_table(path, columns=["op"])["op"]
+                if pc.any(pc.equal(ops, "DDL")).as_py():
+                    t = pq.read_table(path, columns=["lsn", "op", "payload"])
+                    t = t.filter(pc.equal(t["op"], "DDL"))
+                    out.extend(zip(t["lsn"].to_pylist(), t["payload"].to_pylist()))
+            return out
+        except Exception:  # noqa: BLE001 — any read hiccup: use the Spark probe
+            return None
 
     # ------------------------------------------------------------- one batch
     def apply_batch(self, spark: SparkSession, batch_id: int, raw: DataFrame) -> dict:
@@ -75,18 +129,24 @@ class IngestJob:
             mark("archive")
 
         # DDL branch (reference: applier DDL routing, SURVEY.md §2 T3/T8).
-        # DDL rows are rare and tiny — driver-side metadata ops, in LSN order.
-        # Two-phase probe: the existence check scans only the 8-byte op/lsn
-        # columns (column-pruned parquet read); the payload column — the wide
-        # one — is fetched only when a DDL row actually exists in the batch.
-        has_ddl = raw.where(F.col("op") == "DDL").select("lsn").first() is not None
-        ddl_rows = (
-            raw.where(F.col("op") == "DDL").select("lsn", "payload").collect()
-            if has_ddl
-            else []
-        )
+        # DDL rows are rare and tiny — driver-side metadata ops, in LSN
+        # order. Fast path: scan ONLY the op column of this batch's chunk
+        # files with pyarrow in the driver (dictionary-encoded, a few ms) —
+        # no Spark job at all; payloads are fetched only from files that
+        # actually contain DDL. Falls back to a two-phase Spark probe when
+        # the source isn't local parquet files (e.g. Kafka in prod, where
+        # the extract side would flag DDL in message headers instead).
+        ddl_rows = self._scan_ddl_files(raw, batch_id)
+        if ddl_rows is None:
+            has_ddl = raw.where(F.col("op") == "DDL").select("lsn").first() is not None
+            rows = (
+                raw.where(F.col("op") == "DDL").select("lsn", "payload").collect()
+                if has_ddl
+                else []
+            )
+            ddl_rows = [(r.lsn, r.payload) for r in rows]
         if ddl_rows:
-            descriptors = [json.loads(r.payload) for r in sorted(ddl_rows, key=lambda r: r.lsn)]
+            descriptors = [json.loads(p) for _, p in sorted(ddl_rows)]
             self.table.apply_ddl(descriptors)
         mark("ddl")
 
@@ -224,6 +284,7 @@ class IngestJob:
             self.apply_batch(df.sparkSession, int(batch_id), df)
             applied["n"] += 1
 
+        self._checkpoint_dir = checkpoint_dir
         stream = read_feed_stream(spark, feed_dir, max_files_per_trigger)
         writer = (
             stream.writeStream.foreachBatch(handle)

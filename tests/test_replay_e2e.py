@@ -141,3 +141,30 @@ def test_mor_compaction_preserves_state(spark, feed_dir, tmp_path):
     assert_matches_oracle(spark, table, SPEC)
     # compacting an already-compacted table is a no-op
     assert table.compact(spark)["skipped"]
+
+
+def test_bucket_targeted_compaction(spark, feed_dir, tmp_path):
+    """Partial compaction folds ONLY the requested buckets (O(hot buckets),
+    not O(table)) and preserves table state; auto-compaction targets buckets
+    whose delta depth reached compact_every."""
+    table = LakehouseTable(str(tmp_path / "t"))
+    table.create(TRANSCRIPT_SCHEMA, n_buckets=16, merge_mode="mor", compact_every=99)
+    job = IngestJob(str(tmp_path / "t"), str(tmp_path / "ctl"))
+    job.run_to_completion(spark, feed_dir, str(tmp_path / "cp"), max_files_per_trigger=1)
+
+    before = table_as_pandas(spark, table)
+    depth = table.delta_depth()
+    assert depth, "expected delta files"
+    target = max(depth, key=depth.get)
+
+    r = table.compact(spark, buckets={target})
+    assert r["compacted_buckets"] == 1
+    after_depth = table.delta_depth()
+    assert target not in after_depth                      # folded
+    assert set(depth) - {target} == set(after_depth)      # others untouched
+    pd.testing.assert_frame_equal(table_as_pandas(spark, table), before)
+
+    # full compact folds the rest
+    table.compact(spark)
+    assert table.delta_depth() == {}
+    pd.testing.assert_frame_equal(table_as_pandas(spark, table), before)
