@@ -741,6 +741,70 @@ def lsh_band_buckets(spark, sf_dir):
     )
 
 
+@query(
+    "minhash_dedup_pairs",
+    _SH_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id,
+           {_MH_AGGS_DUCK}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_BANDS_DUCK}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT) + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT) + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT) + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0, 4) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = d1 JOIN sig sb ON sb.doc_id = d2
+    WHERE (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT) + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT) + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT) + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) >= 4
+    """,
+)
+def minhash_dedup_pairs(spark, sf_dir):
+    """The complete MinHash-LSH near-dup pipeline: shingle → 8 md5-minhash
+    signature → 4 bands → same-bucket candidate pairs (the ONLY pairwise
+    step, confined within buckets) → signature-estimated Jaccard ≥ 0.5.
+    Linear in corpus size everywhere except inside buckets — the 100 TB
+    dedup shape; `ngram_jaccard_pairs` is the quadratic exact cross-check
+    at test scale."""
+    sh = _doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh{s}")
+        for s in _MINHASH_SEEDS
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")).cast("binary")).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int") for i in range(8)
+    )
+    return (
+        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .where(matches >= 4)
+        .select("d1", "d2", F.round(matches / 8.0, 4).alias("est_jaccard"))
+    )
+
+
 def _cosine_cols():
     dot = F.aggregate(
         F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),

@@ -77,6 +77,12 @@ _TYPES: dict[str, T.DataType] = {
 _WIDENS = {("int", "long"), ("float", "double")}
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot id first (optimistic
+    concurrency, Iceberg-style): reload the table state and retry the
+    operation against the new current snapshot."""
+
+
 def _spark_type(name: str) -> T.DataType:
     if name not in _TYPES:
         raise ValueError(f"unsupported column type: {name}")
@@ -135,9 +141,33 @@ class LakehouseTable:
         os.rename(tmp, p)
 
     def _commit(self, snap: dict) -> None:
-        """Write the snapshot json, then atomically swing the version hint."""
+        """Write the snapshot json, then atomically swing the version hint.
+
+        The snapshot file is created with O_EXCL — a true compare-and-swap
+        on the snapshot id (POSIX guarantees exactly one creator wins), so
+        two writers that both built snapshot N from N-1 cannot both commit:
+        the loser gets CommitConflictError and must reload + retry. This is
+        Iceberg's optimistic-concurrency protocol on a local FS; on object
+        stores the same CAS comes from the catalog (the reason real Iceberg
+        needs one)."""
         name = f"snapshot-{snap['snapshot_id']:08d}.json"
-        self._write_json(name, snap)
+        path = os.path.join(self.meta_dir, name)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                # Either a competing writer committed this id (its hint swing
+                # makes it current → real conflict), or our own previous
+                # process crashed between file write and hint swing (orphan:
+                # hint still points below this id → safe to reclaim once).
+                if attempt == 1 or self.current_snapshot()["snapshot_id"] >= snap["snapshot_id"]:
+                    raise CommitConflictError(
+                        f"snapshot {snap['snapshot_id']} already committed by another writer"
+                    ) from None
+                os.unlink(path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
         tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(name)

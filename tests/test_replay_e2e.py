@@ -168,3 +168,39 @@ def test_bucket_targeted_compaction(spark, feed_dir, tmp_path):
     table.compact(spark)
     assert table.delta_depth() == {}
     pd.testing.assert_frame_equal(table_as_pandas(spark, table), before)
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a competing committed snapshot with the same
+    id raises CommitConflictError; an orphaned snapshot file from a crash
+    (hint never swung) is reclaimed and the commit succeeds."""
+    import json as _json
+    import os
+
+    from data_pipeline_spark.plans.table_format import CommitConflictError
+
+    table = LakehouseTable(str(tmp_path / "t"))
+    table.create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    rows = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, None)], schema=TRANSCRIPT_SCHEMA
+    )
+    table.overwrite(spark, rows)  # snapshot 1
+    cur = table.current_snapshot()
+
+    # crash leftover: orphan file for the NEXT id, hint still at current →
+    # reclaimed, commit goes through
+    orphan = os.path.join(str(tmp_path / "t"), "_meta", f"snapshot-{cur['snapshot_id']+1:08d}.json")
+    with open(orphan, "w") as f:
+        _json.dump({**cur, "snapshot_id": cur["snapshot_id"] + 1}, f)
+    table.overwrite(spark, rows)  # succeeds (snapshot 2 reclaims the orphan)
+    assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"] + 1
+
+    # real conflict: competing writer committed id N AND swung the hint;
+    # a writer still holding the old base must fail its commit of id N
+    stale_base = table.current_snapshot()
+    winner = {**stale_base, "snapshot_id": stale_base["snapshot_id"] + 1,
+              "parent": stale_base["snapshot_id"]}
+    table._commit(winner)  # the competing writer wins
+    with pytest.raises(CommitConflictError):
+        table._commit({**stale_base, "snapshot_id": stale_base["snapshot_id"] + 1,
+                       "parent": stale_base["snapshot_id"]})
