@@ -40,8 +40,11 @@ Exactly-once: `merge` is idempotent two ways (reference analog: skip records
 with lsn ≤ recovery point — data_pipeline/applier recovery vs
 process_control, SURVEY.md §2 T4): (a) batch_id ≤ last committed batch_id is
 a no-op (foreachBatch replays), (b) rows at or below the table watermark LSN
-are filtered (at-least-once transport redelivery). Single-writer assumed (one
-streaming query); multi-writer needs real Iceberg optimistic concurrency.
+are filtered (at-least-once transport redelivery). One streaming writer per
+table is the design; a second writer is caught by optimistic concurrency —
+snapshot files are created with O_EXCL (a CAS on the snapshot id), the loser
+gets CommitConflictError and must reload + retry (Iceberg's protocol; on
+object stores the CAS comes from the catalog).
 """
 
 from __future__ import annotations
@@ -643,6 +646,41 @@ class LakehouseTable:
         self._commit(new)
         return {"skipped": False, "snapshot_id": new_id, "compacted_buckets": len(sel)}
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Partition evolution: rewrite the table under a new bucket count
+        (Iceberg's partition-spec evolution, eager variant). A deliberate
+        O(table) maintenance op — run it when the table has outgrown its
+        write parallelism (rule of thumb: n_buckets ≥ 4× total executor
+        cores), NOT on a schedule. Folds any deltas in the same pass.
+        Subsequent merges route by the new bucketing immediately."""
+        snap = self.current_snapshot()
+        if new_n_buckets == snap["n_buckets"]:
+            return {"skipped": True}
+        rec = self._reconciled(spark, snap)
+        new_id = snap["snapshot_id"] + 1
+        entries: list[dict] = []
+        if rec is not None:
+            base = rec.select(
+                self.bucket_expr(new_n_buckets).alias("_bucket"),
+                F.col("lsn").alias(LSN_COL),
+                *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
+            )
+            entries = self._write_data(base, new_id, snap["schema_id"], new_n_buckets, "base")
+        new = {
+            **snap,
+            "snapshot_id": new_id,
+            "parent": snap["snapshot_id"],
+            "kind": "rebucket",
+            "batch_id": None,
+            "n_buckets": new_n_buckets,
+            "delta_commits": 0,
+            "files": entries,
+            "stats": {"rebucketed_from": snap["n_buckets"], "rebucketed_to": new_n_buckets},
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {"skipped": False, "snapshot_id": new_id, "n_buckets": new_n_buckets}
+
     # ------------------------------------------------------------------- DDL
     def apply_ddl(self, descriptors: list[dict]) -> dict:
         """Metadata-only schema evolution, mirroring the reference's DDL
@@ -770,7 +808,7 @@ class LakehouseTable:
         - merge (COW): not reconstructable from files alone → raises (use
           MOR for changelog consumers, same trade as Iceberg COW);
         - overwrite: every written row, as inserts;
-        - create/ddl/compact/rollback: no logical row changes.
+        - create/ddl/compact/rollback/rebucket: no logical row changes.
         """
         chain = self.history()
         ids = [s["snapshot_id"] for s in chain]
@@ -790,7 +828,7 @@ class LakehouseTable:
                 continue
             new_entries = [e for e in s["files"] if e["path"] not in prev_files]
             prev_files.update(e["path"] for e in s["files"])
-            if s["kind"] in ("create", "ddl", "compact", "rollback") or not new_entries:
+            if s["kind"] in ("create", "ddl", "compact", "rollback", "rebucket") or not new_entries:
                 continue
             if s["kind"] == "merge":
                 deltas = [e for e in new_entries if e.get("layer") == "delta"]

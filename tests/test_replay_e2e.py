@@ -204,3 +204,26 @@ def test_commit_conflict_detection(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         table._commit({**stale_base, "snapshot_id": stale_base["snapshot_id"] + 1,
                        "parent": stale_base["snapshot_id"]})
+
+
+def test_rebucket_partition_evolution(spark, feed_dir, tmp_path):
+    """Growing n_buckets mid-life: state preserved, deltas folded, later
+    merges route by the new bucketing."""
+    job = IngestJob(str(tmp_path / "t"), str(tmp_path / "ctl"))
+    job.table.create(TRANSCRIPT_SCHEMA, n_buckets=4, merge_mode="mor", compact_every=99)
+    # first half of the feed
+    raw = read_feed_batch(spark, feed_dir).where("lsn <= 10000")
+    job.apply_batch(spark, 0, raw)
+    before = table_as_pandas(spark, job.table)
+
+    r = job.table.rebucket(spark, 16)
+    assert r["n_buckets"] == 16
+    snap = job.table.current_snapshot()
+    assert snap["n_buckets"] == 16
+    assert {e["bucket"] for e in snap["files"]} - set(range(16)) == set()
+    assert len({e["bucket"] for e in snap["files"]}) > 4
+    pd.testing.assert_frame_equal(table_as_pandas(spark, job.table), before)
+
+    # rest of the feed lands under the new bucketing; final state == oracle
+    job.apply_batch(spark, 1, read_feed_batch(spark, feed_dir).where("lsn > 10000"))
+    assert_matches_oracle(spark, job.table, SPEC)
