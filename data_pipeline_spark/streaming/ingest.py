@@ -44,6 +44,10 @@ class IngestJob:
         on_error: str = "abort",  # "abort" (fail batch, resume from ckpt) | "quarantine"
         quarantine_path: str | None = None,
         archive_path: str | None = None,  # raw batch archive (reference K2 file writer)
+        ddl_fast_scan: bool = True,  # driver-side pyarrow DDL probe; MUST be
+        # False when apply_batch receives a FILTERED slice of the batch (the
+        # file scan sees whole files, not the DF's filters) — multi-table
+        # routing does this
     ):
         assert on_error in ("abort", "quarantine")
         self.table = LakehouseTable(table_path)
@@ -53,6 +57,7 @@ class IngestJob:
         self.on_error = on_error
         self.quarantine_path = quarantine_path or os.path.join(control_path, "..", "quarantine")
         self.archive_path = archive_path
+        self.ddl_fast_scan = ddl_fast_scan
         self._checkpoint_dir: str | None = None
         os.makedirs(control_path, exist_ok=True)
 
@@ -86,6 +91,8 @@ class IngestJob:
         """Driver-side DDL detection over the micro-batch's parquet chunk
         files (op column only). Returns None when the batch isn't backed by
         local parquet files — caller falls back to the Spark probe."""
+        if not self.ddl_fast_scan:
+            return None
         files = self._batch_files(raw, batch_id)
         if not files:
             return None

@@ -36,6 +36,11 @@ class MultiTableIngestJob:
         **ingest_kwargs,
     ):
         self.active = set(active) if active is not None else set(tables)
+        # ddl_fast_scan off: each sub-job sees a table_name-FILTERED slice
+        # of the batch, but the driver-side file scan reads whole chunk
+        # files — it would pick up other tables' DDL. The Spark probe
+        # applies the filter correctly.
+        ingest_kwargs.setdefault("ddl_fast_scan", False)
         self.jobs = {
             name: IngestJob(path, os.path.join(control_root, name), **ingest_kwargs)
             for name, path in tables.items()

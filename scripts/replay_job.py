@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--max-files-per-trigger", type=int, default=8)
     ap.add_argument("--decoder", default="pandas", choices=["pandas", "sql"])
+    ap.add_argument("--update-mode", default="full", choices=["full", "partial"])
     ap.add_argument("--mode", default="stream", choices=["stream", "batch"])
     ap.add_argument("--warmup", action="store_true", default=True)
     ap.add_argument("--no-warmup", dest="warmup", action="store_false")
@@ -60,7 +61,9 @@ def main() -> None:
         },
     )
     tbl = os.path.join(root, "table")
-    LakehouseTable(tbl).create(TRANSCRIPT_SCHEMA, n_buckets=args.n_buckets)
+    LakehouseTable(tbl).create(
+        TRANSCRIPT_SCHEMA, n_buckets=args.n_buckets, update_mode=args.update_mode
+    )
     job = IngestJob(tbl, os.path.join(root, "control"), salt=args.salt, decoder=args.decoder)
 
     if args.warmup:
@@ -97,6 +100,7 @@ def main() -> None:
         "final_rows": final_rows,
         "mode": args.mode,
         "decoder": args.decoder,
+        "update_mode": args.update_mode,
     }))
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)  # don't leak tmpfs
