@@ -689,6 +689,32 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 _MINHASH_SEEDS = list(range(8))
+
+
+def _minhash_aggs():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh{s}")
+        for s in _MINHASH_SEEDS
+    ]
+
+
+def _bands_exploded(sig):
+    """band rows via ONE explode over the signature — the signature
+    aggregation is computed once, not once per band branch (a 4-way union
+    of selects over `sig` re-runs the whole shingle+minhash pipeline per
+    branch)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")).cast("binary")
+            ).alias("bucket"),
+        )
+        for b in range(4)
+    ])
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
+    )
 _MH_AGGS_DUCK = ",\n           ".join(
     f"min(md5('{s}:' || shingle)) AS mh{s}" for s in _MINHASH_SEEDS
 )
@@ -721,19 +747,8 @@ def lsh_band_buckets(spark, sf_dir):
     This is the 100 TB-scale near-dup path: cost is linear in corpus size
     (shingle explode + two aggs), no pairwise join until within-bucket."""
     sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh{s}")
-        for s in _MINHASH_SEEDS
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")).cast("binary")).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    bands = _bands_exploded(sig)
     return (
         bands.groupBy("band_id", "bucket")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
@@ -772,19 +787,8 @@ def minhash_dedup_pairs(spark, sf_dir):
     dedup shape; `ngram_jaccard_pairs` is the quadratic exact cross-check
     at test scale."""
     sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh{s}")
-        for s in _MINHASH_SEEDS
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")).cast("binary")).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    bands = _bands_exploded(sig)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b_, (F.col("a.band_id") == F.col("b.band_id"))

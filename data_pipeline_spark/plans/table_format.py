@@ -296,18 +296,46 @@ class LakehouseTable:
         return merge_changeset(base, delta, data_cols, extra_cols=())
 
     def read(
-        self, spark: SparkSession, snapshot_id: int | None = None, with_lsn: bool = False
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        with_lsn: bool = False,
+        conv_ids: list[str] | None = None,
     ) -> DataFrame:
         """Read the table at the current (or a past) snapshot. MOR deltas are
         reconciled here (the read-side LWW); COW tables hit the no-delta fast
-        path (plain scan, no shuffle)."""
+        path (plain scan, no shuffle).
+
+        conv_ids: point-lookup path — prunes the scan to ONLY the buckets
+        those conversations hash into (the engine's bucket-partition-pruning
+        analog of Iceberg's partition pruning: metadata-level file skipping,
+        then a row filter inside the kept buckets). At 128+ buckets a
+        point read touches 1/n_buckets of the files."""
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
-        rec = self._reconciled(spark, snap)
+        buckets = None
+        if conv_ids is not None:
+            if not conv_ids:
+                return self._empty(spark, snap, with_lsn)
+            buckets = self._buckets_for(spark, conv_ids, snap["n_buckets"])
+        rec = self._reconciled(spark, snap, buckets=buckets)
         if rec is None:
             return self._empty(spark, snap, with_lsn)
+        if conv_ids is not None:
+            rec = rec.where(F.col("conv_id").isin(*conv_ids))
         out_cols = list(data_cols) + ([F.col("lsn").alias(LSN_COL)] if with_lsn else [])
         return rec.select(*out_cols)
+
+    def _buckets_for(self, spark: SparkSession, conv_ids: list[str], n_buckets: int) -> set[int]:
+        """Bucket ids the given conversations hash into (xxhash64 lives in
+        the JVM — one tiny local job over the id list, no table I/O)."""
+        rows = (
+            spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+            .select(self.bucket_expr(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return {r["b"] for r in rows}
 
     # ----------------------------------------------------------------- write
     def bucket_expr(self, n_buckets: int) -> F.Column:

@@ -227,3 +227,24 @@ def test_rebucket_partition_evolution(spark, feed_dir, tmp_path):
     # rest of the feed lands under the new bucketing; final state == oracle
     job.apply_batch(spark, 1, read_feed_batch(spark, feed_dir).where("lsn > 10000"))
     assert_matches_oracle(spark, job.table, SPEC)
+
+
+def test_point_read_bucket_pruning(spark, feed_dir, tmp_path):
+    """conv_ids point reads prune to the hashed buckets and equal the
+    full-read filter."""
+    job = IngestJob(str(tmp_path / "t"), str(tmp_path / "ctl"))
+    job.table.create(TRANSCRIPT_SCHEMA, n_buckets=16, merge_mode="mor")
+    job.replay_batch(spark, feed_dir)
+    full = table_as_pandas(spark, job.table)
+    targets = full["conv_id"].drop_duplicates().head(3).tolist()
+
+    got = (
+        job.table.read(spark, conv_ids=targets).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = (
+        full[full["conv_id"].isin(targets)].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(job.table._buckets_for(spark, targets, 16)) <= 3
+    assert job.table.read(spark, conv_ids=[]).count() == 0
