@@ -1006,6 +1006,49 @@ def simhash_docs(spark, sf_dir):
 Q["simhash_docs"] = simhash_docs
 
 
+@query(
+    "simhash16_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT t.doc_id, b.bit,
+             SUM(CASE WHEN (CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) >> b.bit) & 1 = 1
+                      THEN 1 ELSE -1 END) AS score
+      FROM toks t CROSS JOIN (SELECT unnest(range(16)) AS bit) b
+      GROUP BY t.doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash16_docs(spark, sf_dir):
+    """16-bit SimHash fingerprint entirely in Catalyst built-ins (md5 ->
+    per-bit majority vote over tokens) — near-dup docs differ in few bits.
+    The 64-bit pandas-UDF variant is `simhash_docs`; this one is
+    DuckDB-oracle-checked bit-for-bit. Cost: |tokens|x16 rows through one
+    partial+final agg — at 100 TB use the vectorized UDF variant (one pass)
+    or a bit-packed intermediate instead of the explode."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    bits = toks.select(
+        "doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    )
+    score = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias("score")
+    )
+    return score.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash16")
+    )
+
+
 def _fake_decode_fn(it):
     import pandas as pd
 

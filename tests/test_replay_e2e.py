@@ -248,3 +248,40 @@ def test_point_read_bucket_pruning(spark, feed_dir, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     assert len(job.table._buckets_for(spark, targets, 16)) <= 3
     assert job.table.read(spark, conv_ids=[]).count() == 0
+
+
+def test_tombstone_only_batch_metrics(spark, tmp_path):
+    """A batch containing only deletes: footer-stats lineage must report
+    rows_applied == rows_deleted, the watermark must advance, and the keys
+    must disappear."""
+    import json as _json
+
+    table = LakehouseTable(str(tmp_path / "t"))
+    table.create(TRANSCRIPT_SCHEMA, n_buckets=4, merge_mode="mor")
+    job = IngestJob(str(tmp_path / "t"), str(tmp_path / "ctl"))
+
+    def feed_chunk(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pd.DataFrame({
+            "lsn": pd.array([r[0] for r in rows], dtype="int64"),
+            "op": [r[1] for r in rows],
+            "ts": pd.to_datetime(["2026-01-01"] * len(rows)),
+            "conv_id": [r[2] for r in rows],
+            "turn_idx": pd.array([r[3] for r in rows], dtype="Int32"),
+            "payload": pd.array([r[4] for r in rows], dtype="string"),
+        }).to_parquet(str(d / "c0.parquet"), index=False,
+                      coerce_timestamps="us", allow_truncated_timestamps=True)
+        return str(d)
+
+    img = _json.dumps({"role": "user", "text": "x", "ts": "2026-01-01T00:00:01"})
+    job.apply_batch(spark, 0, read_feed_batch(spark, feed_chunk(
+        [(1, "I", "a", 0, img), (2, "I", "b", 0, img)], "f0")))
+    job.apply_batch(spark, 1, read_feed_batch(spark, feed_chunk(
+        [(3, "D", "a", 0, None), (4, "D", "b", 0, None)], "f1")))
+
+    assert job.table.read(spark).count() == 0
+    assert job.table.current_snapshot()["watermark_lsn"] == 4
+    ctl = job.read_control(spark).toPandas()
+    b1 = ctl[ctl["batch_id"] == 1]
+    assert b1["rows_applied"].sum() == 2 and b1["rows_deleted"].sum() == 2
