@@ -40,15 +40,16 @@ _PD_CAST = {
 
 
 def _presence_pattern(name: str) -> str:
-    """Regex matching a top-level JSON key in the raw payload. Sound for the
-    flat payloads the feed carries: inside a JSON string value every double
-    quote is escaped (\\"), so a literal `"name":` can only be a key; the
-    lookbehind rejects the escaped form. This is how partial-row images
-    distinguish `{"tool": null}` (SET tool = NULL) from an absent key (column
-    untouched) without any per-row parsing."""
+    """Regex matching a top-level JSON key in the raw payload. Sound for
+    flat payloads with schema-controlled key names: inside a JSON string
+    value every double quote is escaped (\\"), so the contiguous sequence
+    `"name"` cannot occur inside a value, and after a value's closing quote
+    valid JSON never puts `:` — hence a match can only be the real key. This
+    is how partial-row images distinguish `{"tool": null}` (SET tool = NULL)
+    from an absent key (column untouched) without any per-row parsing."""
     import re as _re
 
-    return rf'(?<!\\)"{_re.escape(name)}"\s*:'
+    return rf'"{_re.escape(name)}"\s*:'
 
 
 def _decode_batch(
@@ -116,17 +117,29 @@ def _decode_batch(
     if field_bits is not None:
         # Partial-row-image mode: presence bitmask per row (bit = field id).
         # I = full image (-1), D = nothing (0), U = the keys its payload
-        # carries — all computed with vectorized C-level regex, no per-row
-        # Python (the north rule).
+        # carries. Fast path: a parsed non-null value proves presence with
+        # zero extra work; the C-level regex scan runs ONLY on U rows whose
+        # parsed value is null (explicit `"key": null` vs absent key) — a
+        # small minority. No per-row Python anywhere (the north rule).
         mask = pd.Series(0, index=pdf.index, dtype="int64")
-        raw = pdf["payload"].fillna("")
-        for name, fid in field_bits.items():
-            pres = raw.str.contains(_presence_pattern(name), regex=True)
-            for old in renames.get(name, []):
-                pres = pres | raw.str.contains(_presence_pattern(old), regex=True)
-            mask = mask + pres.astype("int64") * (1 << fid)
         is_i = pdf["op"] == "I"
         is_d = pdf["op"] == "D"
+        is_u = ~(is_i | is_d)
+        raw = pdf["payload"]
+        for name, fid in field_bits.items():
+            names = [name] + renames.get(name, [])
+            pres = pd.Series(False, index=pdf.index)
+            for nm in names:
+                if nm in parsed:
+                    pres |= parsed[nm].notna().reindex(pdf.index, fill_value=False)
+            cand = is_u & ~pres & raw.notna()
+            if cand.any():
+                sub = raw[cand]
+                hit = pd.Series(False, index=sub.index)
+                for nm in names:
+                    hit |= sub.str.contains(_presence_pattern(nm), regex=True)
+                pres.loc[hit.index] = pres.loc[hit.index] | hit
+            mask = mask + pres.astype("int64") * (1 << fid)
         out["_set_mask"] = mask.where(~is_i, -1).where(~is_d, 0)
     if with_validity:
         # a DML row must have a parseable payload and a key to be applicable
