@@ -76,7 +76,7 @@ def run_queries() -> dict[str, float]:
     return timings
 
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "4"))
 
 
 def _replay_once(feed_dir: str, cores: int, n_buckets: int) -> dict:

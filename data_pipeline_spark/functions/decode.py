@@ -147,6 +147,7 @@ def _decode_batch(
         errors = errors.where(~missing_key, "missing merge key")
         dml_needs_payload = pdf["op"].isin(["I", "U"]) & ~has_payload
         errors = errors.where(~dml_needs_payload, "missing payload for I/U")
+        out["_payload"] = pdf["payload"]  # raw image: lets quarantined rows be reprocessed
         out["_error"] = errors
         out["_valid"] = errors.isna()
     return out
@@ -177,7 +178,8 @@ def decode_events(
     if with_validity:
         out_schema = T.StructType(
             out_schema.fields
-            + [T.StructField("_error", T.StringType(), True),
+            + [T.StructField("_payload", T.StringType(), True),
+               T.StructField("_error", T.StringType(), True),
                T.StructField("_valid", T.BooleanType(), False)]
         )
     fields = [(f.name, f.dataType.simpleString()) for f in table_schema.fields]
@@ -254,6 +256,7 @@ def decode_events_sql(
             .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), F.lit("missing merge key"))
             .when(F.col("op").isin("I", "U") & F.col("payload").isNull(), F.lit("missing payload for I/U"))
         )
+        cols.append(F.col("payload").alias("_payload"))
         cols.append(err.alias("_error"))
         cols.append(err.isNull().alias("_valid"))
     return (

@@ -452,6 +452,7 @@ class LakehouseTable:
         changes: DataFrame,
         affected_hint: set[int] | None = None,
         max_lsn_hint: int | None = None,
+        enforce_watermark: bool = True,
     ) -> dict:
         """Apply a deduped changeset (≤1 row per key; columns: lsn, op,
         <table columns>, optionally _bucket).
@@ -466,7 +467,8 @@ class LakehouseTable:
 
         n_buckets = snap["n_buckets"]
         watermark = snap.get("watermark_lsn") or 0
-        changes = changes.where(F.col("lsn") > F.lit(watermark))
+        if enforce_watermark:
+            changes = changes.where(F.col("lsn") > F.lit(watermark))
         if "_bucket" not in changes.columns:
             changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
 

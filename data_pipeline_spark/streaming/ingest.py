@@ -117,7 +117,10 @@ class IngestJob:
             return None
 
     # ------------------------------------------------------------- one batch
-    def apply_batch(self, spark: SparkSession, batch_id: int, raw: DataFrame) -> dict:
+    def apply_batch(
+        self, spark: SparkSession, batch_id: int, raw: DataFrame,
+        enforce_watermark: bool = True,
+    ) -> dict:
         t0 = time.monotonic()
         debug = os.environ.get("INGEST_DEBUG_TIMING") == "1"
         marks: list[tuple[str, float]] = []
@@ -168,11 +171,14 @@ class IngestJob:
             # skip/abort + notification — SURVEY.md §2 T11): malformed
             # records land in a dead-letter parquet dir with the reason.
             flagged = decode(raw, schema, renames, with_validity=True, field_bits=field_bits)
-            bad = flagged.where(~F.col("_valid"))
+            bad = flagged.where(~F.col("_valid")).select(
+                "lsn", "op", "conv_id", "turn_idx",
+                F.col("_payload").alias("payload"), "_error",
+            )
             bad.write.mode("append").parquet(
                 os.path.join(self.quarantine_path, f"batch={batch_id}")
             )
-            decoded = flagged.where(F.col("_valid")).drop("_valid", "_error")
+            decoded = flagged.where(F.col("_valid")).drop("_valid", "_error", "_payload")
         else:
             decoded = decode(raw, schema, renames, field_bits=field_bits)
         mark("decode-quarantine")
@@ -192,7 +198,9 @@ class IngestJob:
             # ONE action (no persist, no second pass); per-bucket lineage
             # comes back from the merge's thin-column scan of the written
             # delta files.
-            result = self.table.merge(spark, batch_id, collapsed)
+            result = self.table.merge(
+                spark, batch_id, collapsed, enforce_watermark=enforce_watermark
+            )
             mark("merge")
             metrics = [
                 {"partition_id": m["bucket"], "rows_applied": m["rows"],
@@ -221,6 +229,7 @@ class IngestJob:
                 result = self.table.merge(
                     spark, batch_id, deduped,
                     affected_hint=affected, max_lsn_hint=max_lsn or 0,
+                    enforce_watermark=enforce_watermark,
                 )
                 mark("merge")
             finally:
@@ -319,6 +328,23 @@ class IngestJob:
         slice (SURVEY.md §7 M1) and the initsync-style bulk path."""
         raw = read_feed_batch(spark, feed_dir)
         return self.apply_batch(spark, batch_id, raw)
+
+    def reprocess_quarantine(self, spark: SparkSession, batch_id: int) -> dict:
+        """Re-apply quarantined records after the upstream defect is fixed
+        (reference analog: the skip-then-reprocess error workflow, SURVEY.md
+        §2 T11). The quarantine keeps each record's RAW payload, so edits to
+        the dead-letter files (or a fixed decoder) flow straight back
+        through decode → merge under a fresh batch_id. The table watermark
+        is bypassed: repaired records carry old LSNs by definition, and the
+        LWW/sequential fold places them correctly (an old LSN can never
+        overwrite a newer image), so the replay stays idempotent."""
+        q = spark.read.parquet(self.quarantine_path)
+        env = q.select(
+            "lsn", "op",
+            F.lit(None).cast("timestamp").alias("ts"),
+            "conv_id", "turn_idx", "payload",
+        )
+        return self.apply_batch(spark, batch_id, env, enforce_watermark=False)
 
     def read_control(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.control_path)

@@ -76,3 +76,49 @@ def test_abort_mode_fails_batch(spark, tmp_path):
         job.apply_batch(spark, 0, spark.createDataFrame(feed, schema=CHANGE_EVENT_SCHEMA))
     # nothing was committed — the table is still at the create snapshot
     assert LakehouseTable(tbl_path).current_snapshot()["snapshot_id"] == 0
+
+
+def test_reprocess_quarantine_after_fix(spark, tmp_path):
+    """The reference's skip-then-reprocess workflow: corrupt records land in
+    the dead-letter dir WITH their raw payload; after the payloads are fixed
+    the batch re-applies under a fresh batch_id, bypassing the watermark
+    (old LSNs slot into the fold correctly), and the table converges to the
+    full-feed oracle."""
+    import glob
+
+    spec = FeedSpec(n_events=2_000, n_convs=50, seed=42)
+    feed = generate_feed_pandas(spec)
+    bad_idx = feed.index[feed["op"] == "I"][:2]
+    originals = {int(feed.loc[i, "lsn"]): feed.loc[i, "payload"] for i in bad_idx}
+    feed.loc[bad_idx, "payload"] = '{"role": broken'
+
+    tbl_path = str(tmp_path / "t")
+    LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=8)
+    qdir = str(tmp_path / "q")
+    job = IngestJob(
+        tbl_path, str(tmp_path / "ctl"), on_error="quarantine", quarantine_path=qdir
+    )
+    job.apply_batch(spark, 0, spark.createDataFrame(feed, schema=CHANGE_EVENT_SCHEMA))
+
+    # "fix the upstream defect": repair the payloads inside the dead letters
+    import os
+
+    for f in glob.glob(f"{qdir}/batch=*/**/*.parquet", recursive=True):
+        q = pd.read_parquet(f)
+        q["payload"] = q["lsn"].map(originals).fillna(q["payload"])
+        q.to_parquet(f, index=False)
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)  # stale Hadoop checksum of the pre-fix file
+
+    r = job.reprocess_quarantine(spark, batch_id=1)
+    assert not r.get("skipped")
+
+    feed.loc[bad_idx, "payload"] = [originals[int(feed.loc[i, "lsn"])] for i in bad_idx]
+    expected = reduce_feed(feed)
+    actual = (
+        LakehouseTable(tbl_path).read(spark).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(actual) == len(expected)
+    assert actual["text"].tolist() == expected["text"].tolist()
