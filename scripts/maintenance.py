@@ -1,0 +1,82 @@
+"""Table-maintenance CLI — the operational companion to the ingest job.
+
+Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`:
+
+    python scripts/maintenance.py --table <path> status
+    python scripts/maintenance.py --table <path> compact [--buckets 3,7,12]
+    python scripts/maintenance.py --table <path> expire --keep-last 4
+    python scripts/maintenance.py --table <path> rebucket --n-buckets 256
+    python scripts/maintenance.py --table <path> rollback --snapshot-id 17
+
+`status` prints snapshot/watermark/schema/delta-depth without starting
+Spark; the others run the corresponding LakehouseTable op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--cores", type=int, default=8)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("status")
+    c = sub.add_parser("compact")
+    c.add_argument("--buckets", default=None, help="comma-separated bucket ids; default: all with deltas")
+    e = sub.add_parser("expire")
+    e.add_argument("--keep-last", type=int, default=2)
+    rb = sub.add_parser("rebucket")
+    rb.add_argument("--n-buckets", type=int, required=True)
+    ro = sub.add_parser("rollback")
+    ro.add_argument("--snapshot-id", type=int, required=True)
+    args = ap.parse_args()
+
+    from data_pipeline_spark.plans.table_format import LakehouseTable
+
+    table = LakehouseTable(args.table)
+
+    if args.cmd == "status":
+        snap = table.current_snapshot()
+        print(json.dumps({
+            "snapshot_id": snap["snapshot_id"],
+            "kind": snap["kind"],
+            "last_batch_id": snap["last_batch_id"],
+            "watermark_lsn": snap.get("watermark_lsn"),
+            "schema_id": snap["schema_id"],
+            "n_buckets": snap["n_buckets"],
+            "merge_mode": snap.get("merge_mode"),
+            "update_mode": snap.get("update_mode", "full"),
+            "n_files": len(snap["files"]),
+            "delta_depth": table.delta_depth(snap),
+        }))
+        return
+
+    from data_pipeline_spark.session import get_spark
+
+    spark = get_spark("maintenance", cores=args.cores)
+    try:
+        if args.cmd == "compact":
+            buckets = (
+                {int(b) for b in args.buckets.split(",")} if args.buckets else None
+            )
+            out = table.compact(spark, buckets=buckets)
+        elif args.cmd == "expire":
+            out = table.expire_snapshots(keep_last=args.keep_last)
+        elif args.cmd == "rebucket":
+            out = table.rebucket(spark, args.n_buckets)
+        elif args.cmd == "rollback":
+            out = table.rollback_to(args.snapshot_id)
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
