@@ -77,7 +77,32 @@ _TYPES: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
     "binary": T.BinaryType(),
 }
-_WIDENS = {("int", "long"), ("float", "double")}
+_WIDENS = {("int", "long"), ("float", "double"), ("int", "decimal"), ("long", "decimal")}
+
+_DECIMAL_RE = __import__("re").compile(r"decimal\((\d+),(\d+)\)")
+
+
+def _decimal_params(name: str) -> tuple[int, int] | None:
+    m = _DECIMAL_RE.fullmatch(name)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _is_legal_widen(frm: str, to: str) -> bool:
+    """Widen rules mirroring the reference's type-map direction (NUMBER →
+    wider numeric, data_pipeline/db/ type maps — SURVEY.md §2 T7): int→long,
+    float→double, int/long→decimal (with enough integer digits), and
+    decimal(p1,s1)→decimal(p2,s2) when both the scale and the integer-digit
+    capacity grow or stay equal (values always representable exactly)."""
+    d_from, d_to = _decimal_params(frm), _decimal_params(to)
+    if d_from and d_to:
+        p1, s1 = d_from
+        p2, s2 = d_to
+        return s2 >= s1 and (p2 - s2) >= (p1 - s1)
+    if d_to and frm in ("int", "long"):
+        p2, s2 = d_to
+        need = 10 if frm == "int" else 19
+        return (p2 - s2) >= need
+    return (frm, to) in _WIDENS
 
 
 class CommitConflictError(RuntimeError):
@@ -87,6 +112,9 @@ class CommitConflictError(RuntimeError):
 
 
 def _spark_type(name: str) -> T.DataType:
+    d = _decimal_params(name)
+    if d:
+        return T.DecimalType(d[0], d[1])
     if name not in _TYPES:
         raise ValueError(f"unsupported column type: {name}")
     return _TYPES[name]
@@ -750,7 +778,7 @@ class LakehouseTable:
                 f = by_name[d["name"]]
                 if f["type"] == d["to"]:
                     continue  # already widened (replay)
-                if (f["type"], d["to"]) not in _WIDENS:
+                if not _is_legal_widen(f["type"], d["to"]):
                     raise ValueError(f"illegal widen {f['type']} -> {d['to']}")
                 f["type"] = d["to"]
             elif action == "drop_column":

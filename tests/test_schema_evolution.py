@@ -161,3 +161,45 @@ def test_drop_column_mid_feed_oracle(spark, tmp_path):
     exp = reduce_feed(pdf)
     assert "tool" not in got.columns and "tool" not in exp.columns
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_decimal_columns_and_widen(spark, tmp_path):
+    """Decimal columns in the table format (reference NUMBER→numeric type
+    maps, T7): exact storage, merge, and precision/scale widening that
+    always preserves values; lossy widens rejected. (The JSON decode path
+    covers the transcript schema; decimal tables arrive via typed
+    DataFrames — multi-table/initsync use.)"""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("amount", T.DecimalType(10, 2), True),
+    ])
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.create(schema, n_buckets=4, merge_mode="mor")
+    rows = spark.createDataFrame(
+        [("a", 0, Decimal("12345678.99")), ("b", 0, Decimal("0.01"))], schema=schema
+    )
+    tbl.overwrite(spark, rows)
+
+    tbl.apply_ddl([{"action": "widen_type", "name": "amount", "to": "decimal(14,4)"}])
+    got = tbl.read(spark)
+    assert dict(got.dtypes)["amount"] == "decimal(14,4)"
+    vals = {r["conv_id"]: r["amount"] for r in got.collect()}
+    assert vals["a"] == Decimal("12345678.9900") and vals["b"] == Decimal("0.0100")
+
+    # merge under the widened schema
+    chg = spark.createDataFrame(
+        [(100, "U", "a", 0, Decimal("99.1234"))],
+        "lsn long, op string, conv_id string, turn_idx int, amount decimal(14,4)",
+    )
+    tbl.merge(spark, batch_id=0, changes=chg)
+    vals = {r["conv_id"]: r["amount"] for r in tbl.read(spark).collect()}
+    assert vals["a"] == Decimal("99.1234")
+
+    # lossy widens rejected
+    with pytest.raises(ValueError, match="illegal widen"):
+        tbl.apply_ddl([{"action": "widen_type", "name": "amount", "to": "decimal(14,1)"}])
