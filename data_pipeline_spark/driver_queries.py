@@ -1397,3 +1397,61 @@ def interval_join_signup_followup(spark, sf_dir):
         F.count(F.col("e.event_id")).alias("n_followups"),
         F.round(F.coalesce(F.sum(F.col("e.value")), F.lit(0)), 2).alias("followup_value"),
     )
+
+
+@query(
+    "cumulative_revenue_by_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def cumulative_revenue_by_customer(spark, sf_dir):
+    """Explicit window frame (ROWS UNBOUNDED PRECEDING .. CURRENT ROW):
+    running per-customer revenue in order-date order, orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("cum_revenue"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@query(
+    "orders_pivot_status",
+    """
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS rev_f,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS rev_o,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS rev_p,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_status(spark, sf_dir):
+    """PIVOT (wide conditional aggregation): revenue per priority by order
+    status. Catalyst expands `pivot` with explicit values to the same single
+    hash aggregate as the CASE/FILTER form — no extra pass, no shuffle per
+    column."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2))
+    )
+    counts = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    return wide.join(counts, "o_orderpriority").select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_o"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("rev_p"),
+        "n_orders",
+    )
