@@ -116,3 +116,44 @@ def test_raw_archive_sink(spark, tmp_path):
     archived = spark.read.parquet(str(tmp_path / "arch")).toPandas()
     assert len(archived) == spec.n_events  # full replayable raw copy
     assert sorted(archived["lsn"]) == list(range(1, spec.n_events + 1))
+
+
+def test_multitable_mixed_update_modes(spark, tmp_path):
+    """One feed, two tables with DIFFERENT update modes: 'chats' applies
+    full-row LWW, 'agents' applies the partial-image sequential fold — each
+    sub-job picks up its own table's mode from the snapshot and matches its
+    own oracle."""
+    from data_pipeline_spark.oracle import reduce_feed, reduce_feed_sequential
+
+    fa = generate_feed_pandas(FeedSpec(n_events=3_000, n_convs=60, seed=42))
+    fb = generate_feed_pandas(FeedSpec(n_events=2_000, n_convs=40, seed=7, partial_updates=True))
+    fa["table_name"] = "chats"
+    fb["table_name"] = "agents"
+    both = pd.concat([fa, fb]).sort_values("ts", kind="stable").reset_index(drop=True)
+    # remap to one global log, keeping each table's internal order
+    order = both["lsn"].copy()
+    both["lsn"] = range(1, len(both) + 1)
+    # re-derive per-table feeds WITH the global lsns for the oracles
+    fa_g = both[both["table_name"] == "chats"].drop(columns="table_name")
+    fb_g = both[both["table_name"] == "agents"].drop(columns="table_name")
+    del order
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    both.to_parquet(str(feed / "chunk-0.parquet"), index=False,
+                    coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    paths = {"chats": str(tmp_path / "chats"), "agents": str(tmp_path / "agents")}
+    LakehouseTable(paths["chats"]).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    LakehouseTable(paths["agents"]).create(TRANSCRIPT_SCHEMA, n_buckets=4, update_mode="partial")
+    mjob = MultiTableIngestJob(paths, str(tmp_path / "ctl"))
+    mjob.run_to_completion(spark, str(feed), str(tmp_path / "ck"), max_files_per_trigger=1)
+
+    got_chats = (LakehouseTable(paths["chats"]).read(spark).toPandas()
+                 .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    got_agents = (LakehouseTable(paths["agents"]).read(spark).toPandas()
+                  .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    exp_chats = reduce_feed(fa_g)
+    exp_agents = reduce_feed_sequential(fb_g)
+    assert got_chats["text"].tolist() == exp_chats["text"].tolist()
+    assert got_agents["text"].tolist() == exp_agents["text"].tolist()
