@@ -102,3 +102,75 @@ def test_random_sequences_match_oracle(spark, tmp_path_factory, ops, boundary):
     expected = reduce_feed(feed)
     assert actual["text"].tolist() == expected["text"].tolist()
     assert actual["conv_id"].tolist() == expected["conv_id"].tolist()
+
+
+@pytest.mark.slow
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),            # conv
+            st.integers(min_value=0, max_value=2),            # turn
+            st.sampled_from(["I", "U", "U", "D"]),            # U-heavy mix
+            st.integers(min_value=0, max_value=15),           # U column subset draw
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    boundary=st.integers(min_value=1, max_value=59),
+)
+def test_random_partial_sequences_match_sequential_oracle(
+    spark, tmp_path_factory, ops, boundary
+):
+    """Partial-image property: arbitrary op soups (orphan updates, explicit
+    nulls, stacked partial updates, delete/revive chains) split at an
+    arbitrary chunk boundary equal the per-row sequential oracle."""
+    import json as _json
+
+    from data_pipeline_spark.oracle import reduce_feed_sequential
+
+    rows = []
+    for i, (c, t, op, sub) in enumerate(ops):
+        lsn = i + 1
+        conv = f"conv-{c:06d}"
+        if op == "D":
+            payload = None
+        elif op == "I":
+            payload = _json.dumps(
+                {"role": "user", "text": f"t{t} {conv} r{lsn}", "ts": "2026-01-01T00:00:00"}
+            )
+        else:  # partial U: column subset from the 4-bit draw; empty -> text
+            img = {}
+            if sub & 1:
+                img["text"] = f"u{lsn}"
+            if sub & 2:
+                img["role"] = "assistant"
+            if sub & 4:
+                img["tool"] = None  # explicit SET NULL
+            if sub & 8:
+                img["ts"] = "2026-01-02T00:00:00"
+            if not img:
+                img["text"] = f"u{lsn}"
+            payload = _json.dumps(img)
+        rows.append((lsn, op, pd.Timestamp("2026-01-01"), conv, t, payload))
+    feed = pd.DataFrame(
+        rows, columns=["lsn", "op", "ts", "conv_id", "turn_idx", "payload"]
+    ).astype({"turn_idx": "Int32"})
+
+    tmp = tmp_path_factory.mktemp("pprop")
+    table_path = str(tmp / "t")
+    LakehouseTable(table_path).create(TRANSCRIPT_SCHEMA, n_buckets=4, update_mode="partial")
+    job = IngestJob(table_path, str(tmp / "ctl"))
+    for bid, chunk in enumerate(_split(feed, [min(boundary, len(feed))])):
+        job.apply_batch(
+            spark, bid, spark.createDataFrame(chunk, schema=CHANGE_EVENT_SCHEMA)
+        )
+    actual = (
+        LakehouseTable(table_path).read(spark).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    expected = reduce_feed_sequential(feed)
+    assert actual["conv_id"].tolist() == expected["conv_id"].tolist()
+    assert actual["text"].tolist() == expected["text"].tolist()
+    exp_tool = [None if pd.isna(x) else x for x in expected["tool"]]
+    assert actual["tool"].tolist() == exp_tool
