@@ -933,6 +933,36 @@ class LakehouseTable:
             df = df.unionByName(p)
         return df
 
+    def tail_changes(
+        self, spark: SparkSession, cursor_path: str
+    ) -> tuple[DataFrame | None, dict]:
+        """Incremental changelog consumption with a durable cursor: returns
+        (changes since the cursor's snapshot, new_cursor) and persists the
+        cursor only via the returned commit callback pattern — caller calls
+        ``commit_cursor(cursor_path, new_cursor)`` AFTER it has durably
+        processed the batch (at-least-once for the consumer; make the
+        downstream sink idempotent, e.g. another LakehouseTable merge).
+        First call starts from the oldest retained snapshot."""
+        cur = self.current_snapshot()
+        start = 0
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                start = json.load(f)["snapshot_id"]
+        chain_ids = [s["snapshot_id"] for s in self.history()]
+        if start not in chain_ids:
+            start = chain_ids[0]  # cursor expired with snapshot GC: restart
+        new_cursor = {"snapshot_id": cur["snapshot_id"]}
+        if start >= cur["snapshot_id"]:
+            return None, new_cursor
+        return self.read_changes(spark, start, cur["snapshot_id"]), new_cursor
+
+    @staticmethod
+    def commit_cursor(cursor_path: str, cursor: dict) -> None:
+        tmp = cursor_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(cursor, f)
+        os.rename(tmp, cursor_path)
+
     def rollback_to(self, snapshot_id: int) -> dict:
         """Roll the table back to a previous snapshot's state (Iceberg
         `rollback_to_snapshot`): commits a NEW snapshot whose files, schema,

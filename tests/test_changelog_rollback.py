@@ -148,3 +148,42 @@ def test_rollback_restores_state_and_allows_reapply(spark, tmp_path):
     exp = reduce_feed(generate_feed_pandas(spec))
     got = _tbl(spark, job.table)
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_tail_changes_cursor(spark, tmp_path):
+    """Incremental changelog consumption with a durable cursor: two tail
+    calls around new merges see disjoint changes whose union equals the full
+    changelog; committing the cursor makes the next call empty."""
+    feed = tmp_path / "feed"
+    spec = FeedSpec(n_events=6_000, n_convs=150, seed=23, chunk_size=2_000)
+    generate_feed(str(feed), spec)
+    job = IngestJob(str(tmp_path / "t"), str(tmp_path / "ctl"))
+    job.table.create(TRANSCRIPT_SCHEMA, n_buckets=4, merge_mode="mor", compact_every=99)
+    cursor = str(tmp_path / "consumer.cursor")
+
+    # batch 0 only
+    raw = spark.read.parquet(str(feed / "chunk-000000.parquet"))
+    job.apply_batch(spark, 0, raw)
+    c1, cur1 = job.table.tail_changes(spark, cursor)
+    n1 = c1.count()
+    assert n1 > 0
+    LakehouseTable.commit_cursor(cursor, cur1)
+
+    # nothing new yet
+    c_none, cur_none = job.table.tail_changes(spark, cursor)
+    assert c_none is None
+
+    # two more batches
+    job.apply_batch(spark, 1, spark.read.parquet(str(feed / "chunk-000001.parquet")))
+    job.apply_batch(spark, 2, spark.read.parquet(str(feed / "chunk-000002.parquet")))
+    c2, cur2 = job.table.tail_changes(spark, cursor)
+    n2 = c2.count()
+    LakehouseTable.commit_cursor(cursor, cur2)
+
+    total = job.table.read_changes(spark, 0).count()
+    assert n1 + n2 == total
+
+    # a duplicate batch commits no data files: the tail sees zero new rows
+    job.apply_batch(spark, 3, spark.read.parquet(str(feed / "chunk-000000.parquet")))
+    c3, _ = job.table.tail_changes(spark, cursor)
+    assert c3 is None or c3.count() == 0
