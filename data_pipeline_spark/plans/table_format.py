@@ -111,6 +111,22 @@ class CommitConflictError(RuntimeError):
     operation against the new current snapshot."""
 
 
+class CursorExpiredError(RuntimeError):
+    """A changelog consumer's cursor points below the oldest retained
+    snapshot: `expire_snapshots` GC'd the delta commits in between, so the
+    missing changes are only recoverable by re-reading the full table.
+    Re-bootstrap (full read), then resume tailing from `oldest_retained`."""
+
+    def __init__(self, cursor_snapshot_id: int, oldest_retained: int):
+        super().__init__(
+            f"changelog cursor at snapshot {cursor_snapshot_id} expired — "
+            f"oldest retained snapshot is {oldest_retained}; re-bootstrap "
+            "with a full table read before resuming incremental tailing"
+        )
+        self.cursor_snapshot_id = cursor_snapshot_id
+        self.oldest_retained = oldest_retained
+
+
 def _spark_type(name: str) -> T.DataType:
     d = _decimal_params(name)
     if d:
@@ -151,6 +167,22 @@ class LakehouseTable:
         with open(os.path.join(self.meta_dir, f"schema-{schema_id}.json")) as f:
             return json.load(f)
 
+    def _last_column_id(self, sch: dict) -> int:
+        """Highest field id ever allocated for this table (Iceberg's
+        last-column-id). Tables written before the counter existed backfill
+        it as the max id over EVERY historical schema version — dropped
+        fields keep occupying their ids, so a later add can never reuse
+        one."""
+        if "last_column_id" in sch:
+            return sch["last_column_id"]
+        last = 0
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("schema-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    hist = json.load(f)
+                last = max(last, *(fld["id"] for fld in hist["fields"]))
+        return last
+
     def schema_struct(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
         sch = self._load_schema(snap["schema_id"])
@@ -171,38 +203,73 @@ class LakehouseTable:
             json.dump(obj, f)
         os.rename(tmp, p)
 
+    #: How old (seconds) an unreachable snapshot file must be before a new
+    #: writer may reclaim it as a crash orphan. A *fresh* file at our target
+    #: id means a live competitor linked it but hasn't swung the hint yet —
+    #: reclaiming that would lose its commit, so it's a conflict instead.
+    orphan_reclaim_seconds: float = 60.0
+
     def _commit(self, snap: dict) -> None:
         """Write the snapshot json, then atomically swing the version hint.
 
-        The snapshot file is created with O_EXCL — a true compare-and-swap
-        on the snapshot id (POSIX guarantees exactly one creator wins), so
-        two writers that both built snapshot N from N-1 cannot both commit:
+        CAS protocol: the snapshot JSON is fully written to a temp file,
+        then `os.link`ed to its final name — POSIX guarantees exactly one
+        linker wins, and the winner's file is COMPLETE the instant it becomes
+        visible (no in-flight window where the visible file is half-written).
+        Two writers that both built snapshot N from N-1 cannot both commit:
         the loser gets CommitConflictError and must reload + retry. This is
         Iceberg's optimistic-concurrency protocol on a local FS; on object
         stores the same CAS comes from the catalog (the reason real Iceberg
-        needs one)."""
+        needs one).
+
+        Crash orphans (file linked, hint never swung) are reclaimed only when
+        demonstrably stale — older than `orphan_reclaim_seconds` — because a
+        fresh unreachable file is indistinguishable from a live competitor
+        mid-commit, and unlinking *that* would silently discard its commit
+        (the liveness window is the same assumption every lease-based
+        protocol makes; set it above your longest expected commit pause)."""
         name = f"snapshot-{snap['snapshot_id']:08d}.json"
         path = os.path.join(self.meta_dir, name)
-        for attempt in (0, 1):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                # Either a competing writer committed this id (its hint swing
-                # makes it current → real conflict), or our own previous
-                # process crashed between file write and hint swing (orphan:
-                # hint still points below this id → safe to reclaim once).
-                if attempt == 1 or self.current_snapshot()["snapshot_id"] >= snap["snapshot_id"]:
-                    raise CommitConflictError(
-                        f"snapshot {snap['snapshot_id']} already committed by another writer"
-                    ) from None
-                os.unlink(path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
-        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
+            json.dump(snap, f)
+        try:
+            for attempt in (0, 1):
+                try:
+                    os.link(tmp, path)
+                    break
+                except FileExistsError:
+                    try:
+                        cur_id = self.current_snapshot()["snapshot_id"]
+                    except FileNotFoundError:
+                        cur_id = -1
+                    if cur_id >= snap["snapshot_id"]:
+                        raise CommitConflictError(
+                            f"snapshot {snap['snapshot_id']} already committed "
+                            "by another writer"
+                        ) from None
+                    try:
+                        age = time.time() - os.stat(path).st_mtime
+                    except FileNotFoundError:
+                        continue  # a concurrent reclaimer removed it: retry link
+                    if attempt == 1 or age < self.orphan_reclaim_seconds:
+                        raise CommitConflictError(
+                            f"snapshot {snap['snapshot_id']} in flight from a "
+                            "concurrent writer (unreachable but fresh)"
+                        ) from None
+                    try:
+                        os.unlink(path)  # stale crash orphan: reclaim once
+                    except FileNotFoundError:
+                        pass
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(hint_tmp, "w") as f:
             f.write(name)
-        os.rename(tmp, self._hint_path())  # atomic on POSIX
+        os.rename(hint_tmp, self._hint_path())  # atomic on POSIX
 
     # ---------------------------------------------------------------- create
     def create(
@@ -231,7 +298,10 @@ class LakehouseTable:
             {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(), "former_names": []}
             for i, f in enumerate(schema.fields)
         ]
-        self._write_json("schema-0.json", {"schema_id": 0, "fields": fields})
+        self._write_json(
+            "schema-0.json",
+            {"schema_id": 0, "fields": fields, "last_column_id": len(fields)},
+        )
         self._commit(
             {
                 "snapshot_id": 0,
@@ -752,13 +822,22 @@ class LakehouseTable:
         sch = self._load_schema(snap["schema_id"])
         fields = [dict(f) for f in sch["fields"]]
         by_name = {f["name"]: f for f in fields}
+        last_column_id = self._last_column_id(sch)
         for d in descriptors:
             action = d["action"]
             if action == "add_column":
                 if d["name"] in by_name:
                     continue  # idempotent re-add
+                # Field ids are allocated from a MONOTONIC per-table counter
+                # (Iceberg's last-column-id), never from max(current ids):
+                # after dropping the highest-id column, max+1 would REUSE the
+                # dropped id and _read_parts' field-id projection would
+                # resurface the dropped column's stored values under the new
+                # column's name (and stale `_set_mask` bits would claim the
+                # new column was set).
+                last_column_id += 1
                 nf = {
-                    "id": max(f["id"] for f in fields) + 1,
+                    "id": last_column_id,
                     "name": d["name"],
                     "type": d["type"],
                     "former_names": [],
@@ -796,7 +875,8 @@ class LakehouseTable:
                 raise ValueError(f"unknown DDL action {action}")
         new_schema_id = snap["schema_id"] + 1
         self._write_json(
-            f"schema-{new_schema_id}.json", {"schema_id": new_schema_id, "fields": fields}
+            f"schema-{new_schema_id}.json",
+            {"schema_id": new_schema_id, "fields": fields, "last_column_id": last_column_id},
         )
         new = {
             **snap,
@@ -934,7 +1014,7 @@ class LakehouseTable:
         return df
 
     def tail_changes(
-        self, spark: SparkSession, cursor_path: str
+        self, spark: SparkSession, cursor_path: str, on_expired: str = "raise"
     ) -> tuple[DataFrame | None, dict]:
         """Incremental changelog consumption with a durable cursor: returns
         (changes since the cursor's snapshot, new_cursor) and persists the
@@ -942,16 +1022,36 @@ class LakehouseTable:
         ``commit_cursor(cursor_path, new_cursor)`` AFTER it has durably
         processed the batch (at-least-once for the consumer; make the
         downstream sink idempotent, e.g. another LakehouseTable merge).
-        First call starts from the oldest retained snapshot."""
+        First call (no cursor file) starts from the oldest retained snapshot.
+
+        A cursor that points BELOW the oldest retained snapshot has expired:
+        `expire_snapshots` GC'd the deltas between it and the retained chain,
+        so the changes folded into the oldest snapshot's base files can NEVER
+        be emitted incrementally — silently resuming would lose them. By
+        default this raises CursorExpiredError (carrying the oldest retained
+        id); the consumer must re-bootstrap with a full table read
+        (``read(spark)``), then resume tailing from the cursor the error
+        carries. ``on_expired="reset"`` opts into that skip explicitly and
+        marks the returned cursor with ``expired_reset``."""
+        if on_expired not in ("raise", "reset"):
+            raise ValueError(f"on_expired must be 'raise' or 'reset', got {on_expired!r}")
         cur = self.current_snapshot()
-        start = 0
+        chain_ids = [s["snapshot_id"] for s in self.history()]
+        start = None
         if os.path.exists(cursor_path):
             with open(cursor_path) as f:
                 start = json.load(f)["snapshot_id"]
-        chain_ids = [s["snapshot_id"] for s in self.history()]
-        if start not in chain_ids:
-            start = chain_ids[0]  # cursor expired with snapshot GC: restart
-        new_cursor = {"snapshot_id": cur["snapshot_id"]}
+        expired = start is not None and start not in chain_ids
+        if expired and on_expired == "raise":
+            raise CursorExpiredError(start, chain_ids[0])
+        if start is None or expired:
+            reset_from = chain_ids[0]
+            new_cursor = {"snapshot_id": cur["snapshot_id"]}
+            if expired:
+                new_cursor["expired_reset"] = {"from": start, "to": reset_from}
+            start = reset_from
+        else:
+            new_cursor = {"snapshot_id": cur["snapshot_id"]}
         if start >= cur["snapshot_id"]:
             return None, new_cursor
         return self.read_changes(spark, start, cur["snapshot_id"]), new_cursor

@@ -62,6 +62,25 @@ class IngestJob:
         os.makedirs(control_path, exist_ok=True)
 
 
+    @staticmethod
+    def _drop_if_empty(parquet_dir: str) -> None:
+        """Remove a just-written quarantine batch dir when it holds zero rows
+        (a clean batch still materializes empty part files) — row counts come
+        from parquet footers only, so this is a few driver-side metadata
+        reads, and an all-clean batch leaves nothing pending to reprocess."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(parquet_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+                    if total:
+                        return
+        shutil.rmtree(parquet_dir, ignore_errors=True)
+
     def _batch_files(self, raw: DataFrame, batch_id: int) -> list[str]:
         """URIs of the parquet chunk files backing this batch: inputFiles()
         for batch reads; for streaming micro-batches (where inputFiles() is
@@ -102,16 +121,27 @@ class IngestJob:
                 return None
             paths.append(f[len("file://"):] if f.startswith("file://") else f[len("file:"):])
         try:
+            from concurrent.futures import ThreadPoolExecutor
+
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            out: list[tuple[int, str]] = []
-            for path in paths:
+            def probe(path: str) -> list[tuple[int, str]]:
                 ops = pq.read_table(path, columns=["op"])["op"]
-                if pc.any(pc.equal(ops, "DDL")).as_py():
-                    t = pq.read_table(path, columns=["lsn", "op", "payload"])
-                    t = t.filter(pc.equal(t["op"], "DDL"))
-                    out.extend(zip(t["lsn"].to_pylist(), t["payload"].to_pylist()))
+                if not pc.any(pc.equal(ops, "DDL")).as_py():
+                    return []
+                t = pq.read_table(path, columns=["lsn", "op", "payload"])
+                t = t.filter(pc.equal(t["op"], "DDL"))
+                return list(zip(t["lsn"].to_pylist(), t["payload"].to_pylist()))
+
+            # pyarrow releases the GIL per read — a thread pool turns the
+            # per-batch probe from O(files) serial driver time into one
+            # parallel metadata sweep (the driver-side fixed cost is what
+            # erodes N→4N scaling efficiency: it doesn't shrink with cores)
+            out: list[tuple[int, str]] = []
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+                for hits in ex.map(probe, paths):
+                    out.extend(hits)
             return out
         except Exception:  # noqa: BLE001 — any read hiccup: use the Spark probe
             return None
@@ -175,9 +205,9 @@ class IngestJob:
                 "lsn", "op", "conv_id", "turn_idx",
                 F.col("_payload").alias("payload"), "_error",
             )
-            bad.write.mode("append").parquet(
-                os.path.join(self.quarantine_path, f"batch={batch_id}")
-            )
+            qbatch = os.path.join(self.quarantine_path, f"batch={batch_id}")
+            bad.write.mode("append").parquet(qbatch)
+            self._drop_if_empty(qbatch)
             decoded = flagged.where(F.col("_valid")).drop("_valid", "_error", "_payload")
         else:
             decoded = decode(raw, schema, renames, field_bits=field_bits)
@@ -329,7 +359,9 @@ class IngestJob:
         raw = read_feed_batch(spark, feed_dir)
         return self.apply_batch(spark, batch_id, raw)
 
-    def reprocess_quarantine(self, spark: SparkSession, batch_id: int) -> dict:
+    def reprocess_quarantine(
+        self, spark: SparkSession, batch_id: int, batches: list[int] | None = None
+    ) -> dict:
         """Re-apply quarantined records after the upstream defect is fixed
         (reference analog: the skip-then-reprocess error workflow, SURVEY.md
         §2 T11). The quarantine keeps each record's RAW payload, so edits to
@@ -337,14 +369,44 @@ class IngestJob:
         through decode → merge under a fresh batch_id. The table watermark
         is bypassed: repaired records carry old LSNs by definition, and the
         LWW/sequential fold places them correctly (an old LSN can never
-        overwrite a newer image), so the replay stays idempotent."""
-        q = spark.read.parquet(self.quarantine_path)
+        overwrite a newer image), so the replay stays idempotent.
+
+        Scoped, not whole-directory: reads only the pending `batch=` subdirs
+        (optionally narrowed to `batches`), and after the merge commits,
+        RETIRES them into a sibling `<quarantine>-processed/` area — so
+        repeated invocations never re-decode already-repaired records, and
+        rows that are *still* invalid (re-quarantined under the new
+        batch_id) are the only thing left pending. An empty quarantine is a
+        no-op, not an error."""
+        qdir = self.quarantine_path
+        pending = (
+            sorted(d for d in os.listdir(qdir) if d.startswith("batch="))
+            if os.path.isdir(qdir)
+            else []
+        )
+        if batches is not None:
+            want = {f"batch={b}" for b in batches}
+            pending = [d for d in pending if d in want]
+        if not pending:
+            return {"skipped": True, "reprocessed_batches": []}
+        q = spark.read.parquet(*[os.path.join(qdir, d) for d in pending])
         env = q.select(
             "lsn", "op",
             F.lit(None).cast("timestamp").alias("ts"),
             "conv_id", "turn_idx", "payload",
         )
-        return self.apply_batch(spark, batch_id, env, enforce_watermark=False)
+        result = self.apply_batch(spark, batch_id, env, enforce_watermark=False)
+        processed_root = qdir.rstrip("/") + "-processed"
+        os.makedirs(processed_root, exist_ok=True)
+        import shutil
+
+        for d in pending:
+            shutil.move(
+                os.path.join(qdir, d),
+                os.path.join(processed_root, f"{d}-r{batch_id}-{uuid.uuid4().hex[:8]}"),
+            )
+        result["reprocessed_batches"] = pending
+        return result
 
     def read_control(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.control_path)

@@ -187,12 +187,17 @@ def test_commit_conflict_detection(spark, tmp_path):
     table.overwrite(spark, rows)  # snapshot 1
     cur = table.current_snapshot()
 
-    # crash leftover: orphan file for the NEXT id, hint still at current →
-    # reclaimed, commit goes through
+    # crash leftover: orphan file for the NEXT id, hint still at current.
+    # Reclaim is liveness-gated (a FRESH unreachable file could be a live
+    # competitor mid-commit — ADVICE.md round 1), so age it past the window.
     orphan = os.path.join(str(tmp_path / "t"), "_meta", f"snapshot-{cur['snapshot_id']+1:08d}.json")
     with open(orphan, "w") as f:
         _json.dump({**cur, "snapshot_id": cur["snapshot_id"] + 1}, f)
-    table.overwrite(spark, rows)  # succeeds (snapshot 2 reclaims the orphan)
+    import time as _time
+
+    old_t = _time.time() - 3600
+    os.utime(orphan, (old_t, old_t))
+    table.overwrite(spark, rows)  # succeeds (snapshot 2 reclaims the stale orphan)
     assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"] + 1
 
     # real conflict: competing writer committed id N AND swung the hint;
