@@ -975,28 +975,44 @@ def embedding_norms(spark, sf_dir):
 # =========================================================================
 
 def _simhash_batch_fn(it):
+    """64-bit SimHash over whitespace tokens, fully vectorized — ZERO
+    Python loops on the data path (the round-1 review flagged the per-doc
+    loop): all documents' tokens flatten into ONE array (`explode`), hash
+    once (`pd.util.hash_array`, a C-level SipHash over the whole array),
+    expand to a tokens×64 ±1 vote matrix, and fold per document with a
+    single `np.add.reduceat` over the doc offsets. The final 64-bit
+    majority word is reinterpreted as int64 (two's complement), bit 63
+    intact. Bit-equality-gated by a pytest against an independent per-doc
+    reference (tests/test_simhash_oracle.py)."""
     import numpy as np
     import pandas as pd
 
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
     for pdf in it:
+        if not len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": []})
+            continue
         toks = pdf["text"].str.split(" ")
-        out_hash = []
-        for tlist in toks:
-            # vectorized per doc: token hashes -> 64 bit votes
-            h = pd.util.hash_array(np.asarray(tlist, dtype=object))  # uint64, deterministic
-            shifts = np.arange(64, dtype=np.uint64)
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(b)
-            out_hash.append(np.int64(sh >> np.uint64(1)))  # keep in int64 range
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out_hash})
+        counts = toks.str.len().to_numpy(dtype=np.int64)  # ≥1: split('') → ['']
+        flat = toks.explode().to_numpy(dtype=object)
+        h = pd.util.hash_array(flat)  # uint64 per token, deterministic
+        votes_pm = (
+            2 * ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) - 1
+        )
+        offsets = np.zeros(len(pdf), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        votes = np.add.reduceat(votes_pm, offsets, axis=0)  # docs × 64
+        sim = ((votes > 0).astype(np.uint64) @ weights).view(np.int64)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sim})
 
 
 def simhash_docs(spark, sf_dir):
     """SimHash fingerprints via an Arrow-vectorized pandas UDF (mapInPandas).
-    No SQL oracle: engine-private hash. Deterministic across runs."""
+    No SQL oracle (engine-private SipHash); bit-for-bit verified instead by
+    tests/test_simhash_oracle.py against an independent per-document numpy
+    reference, and deterministic across runs. The 16-bit md5 variant
+    `simhash16_docs` proves the same methodology against DuckDB."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         _simhash_batch_fn, schema="doc_id bigint, simhash bigint"
@@ -1068,10 +1084,24 @@ def _fake_decode_fn(it):
         )
 
 
+@query(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
 def multimodal_decode_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary column → decode/feature-extract via
     mapInPandas (Arrow batches). Codec is a deterministic stub (no media libs
-    in the sandbox); schema/partitioning/batch shape are the real thing."""
+    in the sandbox); schema/partitioning/batch shape are the real thing — and
+    because the stub is a pure function of the blob's byte length, the whole
+    pipeline (binary col → Arrow batch → typed metadata) IS DuckDB-oracle-
+    checkable: octet_length over the same utf-8 encoding."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
@@ -1079,9 +1109,6 @@ def multimodal_decode_meta(spark, sf_dir):
         _fake_decode_fn,
         schema="doc_id bigint, n_bytes bigint, width int, height int, n_frames int",
     )
-
-
-Q["multimodal_decode_meta"] = multimodal_decode_meta
 
 
 def cdc_replay_transcripts(spark, sf_dir):
@@ -1438,20 +1465,22 @@ def cumulative_revenue_by_customer(spark, sf_dir):
 )
 def orders_pivot_status(spark, sf_dir):
     """PIVOT (wide conditional aggregation): revenue per priority by order
-    status. Catalyst expands `pivot` with explicit values to the same single
-    hash aggregate as the CASE/FILTER form — no extra pass, no shuffle per
-    column."""
+    status, as ONE groupBy with conditional sums + count — a single scan,
+    a single partial+final hash aggregate, ONE Exchange. (The
+    pivot()+join(counts) formulation scans and shuffles `orders` twice and
+    adds a join — pointless at scale; flagged in the round-1 review.)"""
     o = _t(spark, sf_dir, "orders")
-    wide = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2))
-    )
-    counts = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
-    return wide.join(counts, "o_orderpriority").select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_f"),
-        F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_o"),
-        F.coalesce(F.col("P"), F.lit(0.0)).alias("rev_p"),
-        "n_orders",
+
+    def rev(status: str) -> F.Column:
+        return F.round(
+            F.coalesce(F.sum(F.when(F.col("o_orderstatus") == status,
+                                    F.col("o_totalprice"))), F.lit(0)),
+            2,
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        rev("F").alias("rev_f"),
+        rev("O").alias("rev_o"),
+        rev("P").alias("rev_p"),
+        F.count("*").alias("n_orders"),
     )

@@ -219,12 +219,156 @@ def _decode_batch(
     return out
 
 
+def _decode_batch_arrow(
+    rb,
+    table_fields: list[tuple[str, str]],
+    renames: dict[str, list[str]],
+    with_validity: bool,
+    field_bits: dict[str, int] | None,
+    out_arrow_schema,
+):
+    """Decode one Arrow RecordBatch entirely in Arrow compute kernels — no
+    pandas conversion, no Python string materialization. Same contract as
+    `_decode_batch`; raises on any malformed payload (the caller falls back
+    to the pandas path for that batch, which has the per-row isolation
+    loop). Each step is one vectorized C++ kernel:
+
+    - all payloads join into ONE ndjson buffer (`binary_join` over a
+      single-cell list wrap — JSON strings cannot contain a raw newline) and
+      parse in one `pyarrow.json` read;
+    - parsed rows scatter back to batch positions via `take` with a
+      null-masked cumulative-sum index (rows without payload get nulls);
+    - renames coalesce, timestamps `strptime` (error→null, matching the
+      pandas path's coerce), numerics cast;
+    - partial-image presence = parsed-value validity | key-regex match
+      (`match_substring_regex`), folded into the `_set_mask` bitmask.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = rb.num_rows
+    payload = rb.column(rb.schema.get_field_index("payload"))
+    valid_payload = pc.is_valid(payload)
+    nonnull = payload.drop_null()
+    if len(nonnull):
+        import pyarrow.json as pj
+
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays([0, len(nonnull)], nonnull), "\n"
+        )
+        tab = pj.read_json(
+            io.BytesIO(joined.as_py().encode()),
+            read_options=pj.ReadOptions(use_threads=False),
+            parse_options=pj.ParseOptions(
+                explicit_schema=_arrow_payload_schema(table_fields, renames),
+                unexpected_field_behavior="infer",
+            ),
+        )
+        if tab.num_rows != len(nonnull):
+            raise ValueError("ndjson row-count mismatch (embedded newline?)")
+    else:
+        tab = None
+    # batch position -> parsed row index (null where payload was null)
+    csum = pc.cumulative_sum(pc.cast(valid_payload, pa.int64()))
+    idx = pc.if_else(valid_payload, pc.subtract(csum, 1), pa.nulls(n, pa.int64()))
+
+    def parsed_col(name: str):
+        if tab is None or name not in tab.column_names:
+            return None
+        col = tab.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.take(col, idx)
+
+    out_type = {f.name: f.type for f in out_arrow_schema}
+    cols: dict[str, pa.Array] = {}
+    cols["lsn"] = pc.cast(rb.column(rb.schema.get_field_index("lsn")), out_type["lsn"])
+    cols["op"] = pc.cast(rb.column(rb.schema.get_field_index("op")), out_type["op"])
+    cols["conv_id"] = pc.cast(
+        rb.column(rb.schema.get_field_index("conv_id")), out_type["conv_id"]
+    )
+    cols["turn_idx"] = pc.cast(
+        rb.column(rb.schema.get_field_index("turn_idx")), out_type["turn_idx"]
+    )
+    presence: dict[str, pa.Array] = {}
+    for name, typ in table_fields:
+        if name in ("conv_id", "turn_idx"):
+            continue
+        src = parsed_col(name)
+        for old in renames.get(name, []):
+            alt = parsed_col(old)
+            if alt is not None:
+                src = alt if src is None else pc.coalesce(src, alt)
+        if src is None:
+            cols[name] = pa.nulls(n, out_type[name])
+            continue
+        if field_bits is not None:
+            presence[name] = pc.is_valid(src)
+        if typ == "timestamp":
+            if pa.types.is_string(src.type):
+                ts = pc.strptime(src, format="%Y-%m-%dT%H:%M:%S", unit="us",
+                                 error_is_null=True)
+            else:
+                ts = src
+            tz = getattr(out_type[name], "tz", None)
+            if tz and getattr(ts.type, "tz", None) is None:
+                ts = pc.assume_timezone(ts, tz)
+            cols[name] = pc.cast(ts, out_type[name])
+        else:
+            cols[name] = pc.cast(src, out_type[name])
+    if field_bits is not None:
+        is_i = pc.equal(cols["op"], "I")
+        is_d = pc.equal(cols["op"], "D")
+        mask = pa.array([0] * n, pa.int64()) if n else pa.array([], pa.int64())
+        for name, fid in field_bits.items():
+            names = [name] + renames.get(name, [])
+            pres = presence.get(name)
+            if pres is None:
+                pres = pa.array([False] * n, pa.bool_())
+            # explicit `"key": null` parses to null but must count as SET:
+            # the key-regex over the raw payload catches it (same rule as
+            # the pandas path; see _presence_pattern for why it is sound)
+            hit = None
+            for nm in names:
+                h = pc.match_substring_regex(payload, _presence_pattern(nm))
+                hit = h if hit is None else pc.or_kleene(hit, h)
+            pres = pc.or_kleene(pres, pc.fill_null(hit, False))
+            mask = pc.add(
+                mask, pc.multiply(pc.cast(pc.fill_null(pres, False), pa.int64()),
+                                  pa.scalar(1 << fid, pa.int64())),
+            )
+        mask = pc.if_else(is_i, pa.scalar(-1, pa.int64()),
+                          pc.if_else(is_d, pa.scalar(0, pa.int64()), mask))
+        cols["_set_mask"] = mask
+    if with_validity:
+        missing_key = pc.or_kleene(
+            pc.is_null(cols["conv_id"]), pc.is_null(cols["turn_idx"])
+        )
+        needs_payload = pc.and_kleene(
+            pc.is_in(cols["op"], value_set=pa.array(["I", "U"])),
+            pc.is_null(payload),
+        )
+        err = pc.if_else(
+            pc.fill_null(needs_payload, False), pa.scalar("missing payload for I/U"),
+            pc.if_else(pc.fill_null(missing_key, False),
+                       pa.scalar("missing merge key"), pa.nulls(n, pa.string())),
+        )
+        cols["_payload"] = pc.cast(payload, pa.string())
+        cols["_error"] = err
+        cols["_valid"] = pc.is_null(err)
+    return pa.RecordBatch.from_arrays(
+        [pc.cast(cols[f.name], f.type) for f in out_arrow_schema],
+        schema=out_arrow_schema,
+    )
+
+
 def decode_events(
     raw: DataFrame,
     table_schema: T.StructType,
     renames: dict[str, list[str]] | None = None,
     with_validity: bool = False,
     field_bits: dict[str, int] | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Arrow-vectorized decode of DML change records (op != 'DDL').
 
@@ -234,6 +378,17 @@ def decode_events(
     batch; the ingest loop quarantines them). Key columns come from the
     envelope and are cast to the current schema types (covers the turn_idx
     widen).
+
+    impl="arrow" (default): `mapInArrow` + pure Arrow compute kernels —
+    the batch never converts to pandas, strings never materialize as Python
+    objects, so the Python worker's CPU share is several-fold smaller (this
+    is what keeps N→4N scaling efficient: the decode stage doubles the
+    process count, and its CPU footprint is what presses the host's SMT
+    ceiling at 4N). Falls back to the pandas kernel PER BATCH on any parse
+    error (that path has the per-row isolation loop for quarantine mode).
+    impl="pandas": the mapInPandas kernel throughout — also chosen
+    automatically for decimal schemas (arrow float→decimal casts round
+    differently; the pandas path hands floats to Spark unchanged).
     """
     renames = renames or {}
     out_schema = decoded_schema(table_schema)
@@ -250,11 +405,42 @@ def decode_events(
         )
     fields = [(f.name, f.dataType.simpleString()) for f in table_schema.fields]
 
+    # Project to exactly the envelope columns the decode reads before the
+    # Python boundary: Catalyst cannot column-prune through an opaque
+    # mapInPandas/mapInArrow, so an unused envelope column (e.g. the
+    # transport `ts`) would otherwise ride the Arrow IPC both ways.
+    dml = raw.where(F.col("op") != "DDL").select(
+        "lsn", "op", "conv_id", "turn_idx", "payload"
+    )
+
+    has_decimal = any(t.startswith("decimal") for _, t in fields)
+    if impl == "arrow" and not has_decimal:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_arrow = to_arrow_schema(out_schema)
+
+        def afn(batches):
+            for rb in batches:
+                try:
+                    yield _decode_batch_arrow(
+                        rb, fields, renames, with_validity, field_bits, out_arrow
+                    )
+                except Exception:  # noqa: BLE001 — pandas path isolates rows
+                    import pyarrow as pa
+
+                    out = _decode_batch(
+                        rb.to_pandas(), fields, renames, with_validity, field_bits
+                    )
+                    yield pa.RecordBatch.from_pandas(
+                        out, schema=out_arrow, preserve_index=False
+                    )
+
+        return dml.mapInArrow(afn, schema=out_schema)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _decode_batch(pdf, fields, renames, with_validity, field_bits)
 
-    dml = raw.where(F.col("op") != "DDL")
     return dml.mapInPandas(fn, schema=out_schema)
 
 

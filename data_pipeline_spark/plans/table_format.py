@@ -142,6 +142,7 @@ class LakehouseTable:
     def __init__(self, path: str):
         self.path = path
         self.meta_dir = os.path.join(path, "_meta")
+        self._manifest_cache: dict[str, list[dict]] = {}
 
     # ------------------------------------------------------------------ meta
     def _hint_path(self) -> str:
@@ -195,6 +196,67 @@ class LakehouseTable:
         snap = snap or self.current_snapshot()
         sch = self._load_schema(snap["schema_id"])
         return {f["name"]: f["former_names"] for f in sch["fields"] if f["former_names"]}
+
+    # ------------------------------------------------------------- manifests
+    # A snapshot does NOT inline its file list. It carries a MANIFEST LIST:
+    # [{"name", "buckets", "entry_count"}], where each manifest file holds
+    # the entries one commit added (Iceberg's manifest-list / manifest-file
+    # layering). A merge commit therefore writes O(batch) metadata — one new
+    # manifest + the snapshot json with N+1 manifest refs — instead of
+    # rewriting the full O(table) file inventory every commit, which is the
+    # thing that turns the driver into the bottleneck at 10^10 events.
+    # Removal ops (COW merge, compact, rebucket) rewrite ONLY the manifests
+    # whose bucket range intersects the affected buckets; the rest carry by
+    # name. Manifest files are immutable → cached by name after first load.
+
+    def _write_manifest(self, snapshot_id: int, entries: list[dict]) -> dict:
+        name = f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.json"
+        self._write_json(name, {"entries": entries})
+        self._manifest_cache[name] = entries
+        return {
+            "name": name,
+            "buckets": sorted({e["bucket"] for e in entries}),
+            "entry_count": len(entries),
+        }
+
+    def _manifest_entries(self, name: str) -> list[dict]:
+        if name not in self._manifest_cache:
+            with open(os.path.join(self.meta_dir, name)) as f:
+                self._manifest_cache[name] = json.load(f)["entries"]
+        return self._manifest_cache[name]
+
+    def _files(self, snap: dict) -> list[dict]:
+        """All file entries of a snapshot (manifest-backed; legacy snapshots
+        with an inline `files` list still read)."""
+        if "files" in snap:
+            return snap["files"]
+        out: list[dict] = []
+        for m in snap.get("manifests", []):
+            out.extend(self._manifest_entries(m["name"]))
+        return out
+
+    def files(self, snap: dict | None = None) -> list[dict]:
+        """Public accessor for tools/tests: the snapshot's file inventory."""
+        return self._files(snap or self.current_snapshot())
+
+    def _carry_without_buckets(
+        self, snap: dict, new_snapshot_id: int, drop_buckets: set[int]
+    ) -> list[dict]:
+        """Manifest refs for a commit that removes every entry in
+        `drop_buckets`: untouched manifests carry by name (no I/O beyond the
+        ref), intersecting ones are rewritten without the dropped buckets —
+        O(affected manifests), never O(table)."""
+        carried: list[dict] = []
+        for m in snap.get("manifests", []):
+            if not (set(m["buckets"]) & drop_buckets):
+                carried.append(m)
+                continue
+            rest = [
+                e for e in self._manifest_entries(m["name"]) if e["bucket"] not in drop_buckets
+            ]
+            if rest:
+                carried.append(self._write_manifest(new_snapshot_id, rest))
+        return carried
 
     def _write_json(self, name: str, obj: dict) -> None:
         p = os.path.join(self.meta_dir, name)
@@ -316,7 +378,8 @@ class LakehouseTable:
                 "update_mode": update_mode,
                 "compact_every": compact_every,
                 "delta_commits": 0,
-                "files": [],
+                "manifests": [],
+                "delta_depth": {},
                 "stats": {},
                 "committed_at": time.time(),
             }
@@ -363,7 +426,7 @@ class LakehouseTable:
     ) -> DataFrame | None:
         """Current live rows (with `lsn` column): base ∪ deltas reconciled by
         last-writer-wins; tombstones suppressed. None if no files."""
-        entries = snap["files"]
+        entries = self._files(snap)
         if buckets is not None:
             entries = [e for e in entries if e["bucket"] in buckets]
         base_e = [e for e in entries if e.get("layer", "base") == "base"]
@@ -502,11 +565,14 @@ class LakehouseTable:
         """Per-file (rows, lsn_min, lsn_max) from parquet FOOTERS only —
         O(files) metadata reads, zero data I/O. On a 1000-executor cluster
         this is the manifest-stats pattern (writers record stats at write
-        time); here the driver reads the footers directly."""
+        time); here the driver reads the footers, threaded (pyarrow drops
+        the GIL per read) so this per-commit cost is one parallel sweep,
+        not serial driver wall-clock that erodes scaling efficiency."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out = []
-        for e in entries:
+        def one(e: dict) -> dict:
             md = pq.ParquetFile(os.path.join(self.path, e["path"])).metadata
             lsn_idx = md.schema.names.index(LSN_COL)
             lsn_min, lsn_max = None, None
@@ -515,8 +581,12 @@ class LakehouseTable:
                 if st is not None and st.has_min_max:
                     lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
                     lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
-            out.append({**e, "rows": md.num_rows, "lsn_min": lsn_min, "lsn_max": lsn_max})
-        return out
+            return {**e, "rows": md.num_rows, "lsn_min": lsn_min, "lsn_max": lsn_max}
+
+        if not entries:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+            return list(ex.map(one, entries))
 
     def overwrite(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None) -> dict:
         """Full snapshot load (the initsync path — reference:
@@ -535,7 +605,8 @@ class LakehouseTable:
             "batch_id": batch_id,
             "last_batch_id": max(snap["last_batch_id"], batch_id if batch_id is not None else -1),
             "delta_commits": 0,
-            "files": entries,
+            "manifests": [self._write_manifest(new_id, entries)] if entries else [],
+            "delta_depth": {},
             "stats": {},
             "committed_at": time.time(),
         }
@@ -655,6 +726,11 @@ class LakehouseTable:
         new_watermark = max(
             [snap.get("watermark_lsn") or 0] + [m["max_lsn"] for m in bucket_metrics]
         )
+        # O(batch) commit metadata: one new manifest + incremental per-bucket
+        # delta depth; prior manifests carry by reference.
+        depth = dict(snap.get("delta_depth", {}))
+        for e in entries:
+            depth[str(e["bucket"])] = depth.get(str(e["bucket"]), 0) + 1
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -664,7 +740,8 @@ class LakehouseTable:
             "last_batch_id": batch_id,
             "watermark_lsn": new_watermark,
             "delta_commits": snap.get("delta_commits", 0) + 1,
-            "files": snap["files"] + entries,
+            "manifests": snap.get("manifests", []) + [self._write_manifest(new_id, entries)],
+            "delta_depth": depth,
             "stats": {"affected_buckets": len(bucket_metrics)},
             "committed_at": time.time(),
         }
@@ -701,7 +778,9 @@ class LakehouseTable:
         live = live.withColumnRenamed("lsn", LSN_COL)
         new_id = snap["snapshot_id"] + 1
         new_entries = self._write_data(live, new_id, snap["schema_id"], snap["n_buckets"], "base")
-        carried = [e for e in snap["files"] if e["bucket"] not in affected]
+        carried = self._carry_without_buckets(snap, new_id, affected)
+        if new_entries:
+            carried.append(self._write_manifest(new_id, new_entries))
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -710,7 +789,10 @@ class LakehouseTable:
             "batch_id": batch_id,
             "last_batch_id": batch_id,
             "watermark_lsn": new_watermark,
-            "files": carried + new_entries,
+            "manifests": carried,
+            "delta_depth": {
+                b: c for b, c in snap.get("delta_depth", {}).items() if int(b) not in affected
+            },
             "stats": {"affected_buckets": len(affected)},
             "committed_at": time.time(),
         }
@@ -720,11 +802,15 @@ class LakehouseTable:
 
     # ------------------------------------------------------------ compaction
     def delta_depth(self, snap: dict | None = None) -> dict[int, int]:
-        """Per-bucket delta-file count = that bucket's read amplification
-        (metadata only, no I/O)."""
+        """Per-bucket delta-file count = that bucket's read amplification.
+        Maintained INCREMENTALLY in the snapshot (merge adds, compact/COW
+        clears) so the per-commit compaction decision is O(n_buckets), not an
+        O(total files) sweep; legacy snapshots fall back to the sweep."""
         snap = snap or self.current_snapshot()
+        if "delta_depth" in snap:
+            return {int(b): c for b, c in snap["delta_depth"].items()}
         depth: dict[int, int] = {}
-        for e in snap["files"]:
+        for e in self._files(snap):
             if e.get("layer") == "delta":
                 depth[e["bucket"]] = depth.get(e["bucket"], 0) + 1
         return depth
@@ -754,20 +840,27 @@ class LakehouseTable:
                 *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
             )
             entries = self._write_data(base, new_id, snap["schema_id"], snap["n_buckets"], "base")
-        carried = [e for e in snap["files"] if e["bucket"] not in sel]
+        carried = self._carry_without_buckets(snap, new_id, sel)
+        if entries:
+            carried.append(self._write_manifest(new_id, entries))
+        remaining_depth = {
+            b: c for b, c in snap.get("delta_depth", {}).items() if int(b) not in sel
+        }
+        prev_total = sum(m["entry_count"] for m in snap.get("manifests", []))
         new = {
             **snap,
             "snapshot_id": new_id,
             "parent": snap["snapshot_id"],
             "kind": "compact",
             "batch_id": None,
-            "delta_commits": max(
-                [0] + list(self.delta_depth({"files": carried}).values())
-            ),
-            "files": carried + entries,
+            "delta_commits": max([0] + list(remaining_depth.values())),
+            "manifests": carried,
+            "delta_depth": remaining_depth,
             "stats": {
                 "compacted_buckets": len(sel),
-                "compacted_files": len(snap["files"]) - len(carried),
+                "compacted_files": prev_total
+                - sum(m["entry_count"] for m in carried)
+                + len(entries),
             },
             "committed_at": time.time(),
         }
@@ -802,7 +895,8 @@ class LakehouseTable:
             "batch_id": None,
             "n_buckets": new_n_buckets,
             "delta_commits": 0,
-            "files": entries,
+            "manifests": [self._write_manifest(new_id, entries)] if entries else [],
+            "delta_depth": {},
             "stats": {"rebucketed_from": snap["n_buckets"], "rebucketed_to": new_n_buckets},
             "committed_at": time.time(),
         }
@@ -825,6 +919,13 @@ class LakehouseTable:
         last_column_id = self._last_column_id(sch)
         for d in descriptors:
             action = d["action"]
+            if action == "create_table":
+                # CREATE TABLE replication is handled a level up (the
+                # multi-table router creates + registers the table); by the
+                # time the event reaches this table's own DDL stream the
+                # table exists, so this is an idempotent no-op — Iceberg's
+                # CREATE TABLE IF NOT EXISTS on replay.
+                continue
             if action == "add_column":
                 if d["name"] in by_name:
                     continue  # idempotent re-add
@@ -956,16 +1057,24 @@ class LakehouseTable:
         cur = self.current_snapshot()
         partial = self.update_mode(cur) == "partial"
         out_parts: list[DataFrame] = []
+        # Path-based diff (not manifest-name diff): compaction/COW rewrite
+        # carried entries into NEW manifests without changing the underlying
+        # file paths, so only genuinely new files count as changes. Manifest
+        # loads are cached by name, so each manifest reads once per call.
         prev_files: set[str] = {
-            e["path"] for s in chain if s["snapshot_id"] <= from_snapshot_id for e in s["files"]
+            e["path"]
+            for s in chain
+            if s["snapshot_id"] <= from_snapshot_id
+            for e in self._files(s)
         }
         data_cols = [f["name"] for f in self._load_schema(cur["schema_id"])["fields"]]
         for s in chain:
             sid = s["snapshot_id"]
             if sid <= from_snapshot_id or sid > to_id:
                 continue
-            new_entries = [e for e in s["files"] if e["path"] not in prev_files]
-            prev_files.update(e["path"] for e in s["files"])
+            s_files = self._files(s)
+            new_entries = [e for e in s_files if e["path"] not in prev_files]
+            prev_files.update(e["path"] for e in s_files)
             if s["kind"] in ("create", "ddl", "compact", "rollback", "rebucket") or not new_entries:
                 continue
             if s["kind"] == "merge":
@@ -1099,8 +1208,11 @@ class LakehouseTable:
         )
         keep_ids = set(all_snaps[-keep_last:]) | {cur["snapshot_id"]}
         live_files: set[str] = set()
+        live_manifests: set[str] = set()
         for sid in keep_ids:
-            live_files.update(e["path"] for e in self.snapshot_by_id(sid)["files"])
+            kept = self.snapshot_by_id(sid)
+            live_manifests.update(m["name"] for m in kept.get("manifests", []))
+            live_files.update(e["path"] for e in self._files(kept))
 
         removed_files = 0
         data_dir = os.path.join(self.path, "data")
@@ -1119,5 +1231,11 @@ class LakehouseTable:
             if sid not in keep_ids:
                 os.remove(os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
                 removed_snaps += 1
+        removed_manifests = 0
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("manifest-") and fn.endswith(".json") and fn not in live_manifests:
+                os.remove(os.path.join(self.meta_dir, fn))
+                self._manifest_cache.pop(fn, None)
+                removed_manifests += 1
         return {"kept": sorted(keep_ids), "removed_snapshots": removed_snaps,
-                "removed_files": removed_files}
+                "removed_files": removed_files, "removed_manifests": removed_manifests}

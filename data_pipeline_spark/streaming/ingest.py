@@ -44,6 +44,12 @@ class IngestJob:
         on_error: str = "abort",  # "abort" (fail batch, resume from ckpt) | "quarantine"
         quarantine_path: str | None = None,
         archive_path: str | None = None,  # raw batch archive (reference K2 file writer)
+        on_alert=None,  # Callable[[dict], None] — notification hook (reference:
+        # data_pipeline/utils/mailer.py skip/abort notification, SURVEY.md §2
+        # T11): fires with {"kind": "quarantine", batch_id, rows, errors} when
+        # records are dead-lettered, {"kind": "abort", batch_id, error} when a
+        # batch fails. Every alert is also appended to <control>/alerts.jsonl
+        # (durable audit trail) whether or not a callback is set.
         ddl_fast_scan: bool = True,  # driver-side pyarrow DDL probe; MUST be
         # False when apply_batch receives a FILTERED slice of the batch (the
         # file scan sees whole files, not the DF's filters) — multi-table
@@ -57,29 +63,58 @@ class IngestJob:
         self.on_error = on_error
         self.quarantine_path = quarantine_path or os.path.join(control_path, "..", "quarantine")
         self.archive_path = archive_path
+        self.on_alert = on_alert
         self.ddl_fast_scan = ddl_fast_scan
         self._checkpoint_dir: str | None = None
         os.makedirs(control_path, exist_ok=True)
 
 
+    def _alert(self, event: dict) -> None:
+        """Durable alert row + optional callback (reference mailer analog).
+        A failing callback must not fail the batch (a broken notifier would
+        otherwise crash-loop the stream from the checkpoint) — the failure
+        is recorded in the same audit trail instead."""
+        event = {**event, "at": datetime.now(timezone.utc).isoformat()}
+        with open(os.path.join(self.control_path, "alerts.jsonl"), "a") as f:
+            f.write(json.dumps(event) + "\n")
+        if self.on_alert is not None:
+            try:
+                self.on_alert(event)
+            except Exception as e:  # noqa: BLE001
+                with open(os.path.join(self.control_path, "alerts.jsonl"), "a") as f:
+                    f.write(json.dumps({
+                        "kind": "alert_hook_error",
+                        "error": f"{type(e).__name__}: {e}",
+                        "at": datetime.now(timezone.utc).isoformat(),
+                    }) + "\n")
+
     @staticmethod
-    def _drop_if_empty(parquet_dir: str) -> None:
-        """Remove a just-written quarantine batch dir when it holds zero rows
-        (a clean batch still materializes empty part files) — row counts come
-        from parquet footers only, so this is a few driver-side metadata
-        reads, and an all-clean batch leaves nothing pending to reprocess."""
+    def _quarantine_report(parquet_dir: str) -> tuple[int, dict[str, int]]:
+        """(row count, per-error counts) of a just-written quarantine batch
+        dir; removes the dir when it holds zero rows (a clean batch still
+        materializes empty part files, which would otherwise read as
+        pending). Counts come from parquet footers; the tiny `_error` column
+        is read only when rows exist — driver-side metadata work, no Spark
+        job."""
         import shutil
 
         import pyarrow.parquet as pq
 
-        total = 0
-        for root, _dirs, files in os.walk(parquet_dir):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-                    if total:
-                        return
-        shutil.rmtree(parquet_dir, ignore_errors=True)
+        paths = [
+            os.path.join(root, fn)
+            for root, _dirs, files in os.walk(parquet_dir)
+            for fn in files
+            if fn.endswith(".parquet")
+        ]
+        total = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        if not total:
+            shutil.rmtree(parquet_dir, ignore_errors=True)
+            return 0, {}
+        errors: dict[str, int] = {}
+        for p in paths:
+            for e in pq.read_table(p, columns=["_error"])["_error"].to_pylist():
+                errors[e or "unknown"] = errors.get(e or "unknown", 0) + 1
+        return total, errors
 
     def _batch_files(self, raw: DataFrame, batch_id: int) -> list[str]:
         """URIs of the parquet chunk files backing this batch: inputFiles()
@@ -150,6 +185,31 @@ class IngestJob:
     def apply_batch(
         self, spark: SparkSession, batch_id: int, raw: DataFrame,
         enforce_watermark: bool = True,
+        ddl_rows: list[tuple[int, str]] | None = None,
+    ) -> dict:
+        """Apply one micro-batch. ddl_rows: pre-collected (lsn, payload) DDL
+        events for THIS table — pass them (even as []) to skip the batch's
+        own DDL probe entirely; the multi-table router does one DDL sweep
+        for the whole batch and fans the rows out per table.
+
+        A failing batch fires an "abort" alert (reference: mailer on abort,
+        SURVEY.md §2 T11) and re-raises — the stream stops and resumes from
+        the checkpoint."""
+        try:
+            return self._apply_batch_inner(
+                spark, batch_id, raw, enforce_watermark, ddl_rows
+            )
+        except Exception as e:
+            self._alert({
+                "kind": "abort",
+                "batch_id": batch_id,
+                "error": f"{type(e).__name__}: {e}",
+            })
+            raise
+
+    def _apply_batch_inner(
+        self, spark: SparkSession, batch_id: int, raw: DataFrame,
+        enforce_watermark: bool, ddl_rows: list[tuple[int, str]] | None,
     ) -> dict:
         t0 = time.monotonic()
         debug = os.environ.get("INGEST_DEBUG_TIMING") == "1"
@@ -176,7 +236,8 @@ class IngestJob:
         # actually contain DDL. Falls back to a two-phase Spark probe when
         # the source isn't local parquet files (e.g. Kafka in prod, where
         # the extract side would flag DDL in message headers instead).
-        ddl_rows = self._scan_ddl_files(raw, batch_id)
+        if ddl_rows is None:
+            ddl_rows = self._scan_ddl_files(raw, batch_id)
         if ddl_rows is None:
             has_ddl = raw.where(F.col("op") == "DDL").select("lsn").first() is not None
             rows = (
@@ -207,7 +268,14 @@ class IngestJob:
             )
             qbatch = os.path.join(self.quarantine_path, f"batch={batch_id}")
             bad.write.mode("append").parquet(qbatch)
-            self._drop_if_empty(qbatch)
+            q_rows, q_errors = self._quarantine_report(qbatch)
+            if q_rows:
+                self._alert({
+                    "kind": "quarantine",
+                    "batch_id": batch_id,
+                    "rows": q_rows,
+                    "errors": q_errors,
+                })
             decoded = flagged.where(F.col("_valid")).drop("_valid", "_error", "_payload")
         else:
             decoded = decode(raw, schema, renames, field_bits=field_bits)

@@ -1,24 +1,46 @@
 """Multi-table CDC ingest: one change feed carrying many tables' events.
 
-The reference replicates a registered SET of tables per pipeline, with an
-allowlist held in the `source_system_profile` audit table (reference:
-data_pipeline/audit/ + extractor table-list setup — SURVEY.md §2 T2, §3).
-Here: the feed carries a `table_name` column (the Oracle/MSSQL log tags every
-change with its table); routing is a filter per registered table, the
-allowlist an `isin` prune that Catalyst pushes into the feed scan.
+The reference replicates a runtime-discovered SET of tables per pipeline:
+the allowlist lives in the `source_system_profile` audit table and CREATE
+TABLE DDL is replicated like any other statement (reference:
+data_pipeline/audit/ + extractor table-list setup + DDL replication —
+SURVEY.md §2 T2/T8, §3). Here: the feed carries a `table_name` column (the
+Oracle/MSSQL log tags every change with its table), and the router handles
+a batch in ONE pass over the data:
+
+1. the micro-batch is persisted ONCE per trigger — every per-table slice is
+   a filter over the cached batch (InMemoryTableScan), not a re-scan of the
+   chunk files (at reference-realistic table counts, N re-scans of every
+   micro-batch was the round-1 review's scale flag #3);
+2. ONE driver-side DDL sweep collects every DDL row in the batch (rare,
+   tiny), creates + registers any table announced by a `create_table` event
+   mid-feed (dynamic registration — a table appearing in the log starts
+   replicating in the same batch, instead of being silently dropped by the
+   allowlist), and fans the remaining DDL out per table so the sub-jobs skip
+   their own probes.
 
 LSNs are global across tables (like Oracle SCN), so each table's watermark
 filter and LWW ordering remain correct on its filtered slice.
+
+create_table payload (a DDL-op event whose `table_name` is the new table):
+    {"action": "create_table", "schema": "conv_id string, turn_idx int, ...",
+     "n_buckets": 16, "merge_mode": "mor", "update_mode": "full"}
+(only "schema" is required; storage options default to the router's). The
+event is idempotent under checkpoint replay: an existing table directory
+short-circuits the create, and the per-table DDL stream treats
+`create_table` as CREATE TABLE IF NOT EXISTS.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA
 from data_pipeline_spark.streaming.ingest import IngestJob
 
@@ -33,28 +55,87 @@ class MultiTableIngestJob:
         tables: dict[str, str],  # table_name -> LakehouseTable path
         control_root: str,
         active: set[str] | None = None,  # allowlist (T2); default: all registered
+        table_root: str | None = None,  # where create_table tables materialize;
+        # None disables dynamic registration (strict static allowlist)
+        create_defaults: dict | None = None,  # n_buckets/merge_mode/... for creates
         **ingest_kwargs,
     ):
         self.active = set(active) if active is not None else set(tables)
-        # ddl_fast_scan off: each sub-job sees a table_name-FILTERED slice
-        # of the batch, but the driver-side file scan reads whole chunk
-        # files — it would pick up other tables' DDL. The Spark probe
-        # applies the filter correctly.
+        self.control_root = control_root
+        self.table_root = table_root
+        self.create_defaults = dict(create_defaults or {})
+        # sub-jobs never probe for DDL themselves: the router's single sweep
+        # hands each one its rows (ddl_rows=[...] below)
         ingest_kwargs.setdefault("ddl_fast_scan", False)
+        self._ingest_kwargs = ingest_kwargs
         self.jobs = {
             name: IngestJob(path, os.path.join(control_root, name), **ingest_kwargs)
             for name, path in tables.items()
             if name in self.active
         }
 
+    # --------------------------------------------------- dynamic registration
+    def _register_create(self, name: str, lsn: int, payload: str) -> None:
+        """Create + register a table announced by a mid-feed create_table
+        event (idempotent: an existing directory short-circuits)."""
+        spec = json.loads(payload)
+        path = os.path.join(self.table_root, name)
+        tbl = LakehouseTable(path)
+        if not tbl.exists():
+            schema = T.StructType.fromDDL(spec["schema"])
+            tbl.create(
+                schema,
+                n_buckets=spec.get(
+                    "n_buckets", self.create_defaults.get("n_buckets", 16)
+                ),
+                merge_mode=spec.get(
+                    "merge_mode", self.create_defaults.get("merge_mode", "mor")
+                ),
+                update_mode=spec.get(
+                    "update_mode", self.create_defaults.get("update_mode", "full")
+                ),
+            )
+        if name not in self.jobs:
+            self.jobs[name] = IngestJob(
+                path, os.path.join(self.control_root, name), **self._ingest_kwargs
+            )
+        self.active.add(name)
+
+    # -------------------------------------------------------------- one batch
     def apply_batch(self, spark: SparkSession, batch_id: int, raw: DataFrame) -> dict:
-        # allowlist prune first: unregistered/inactive tables never leave the scan
-        raw = raw.where(F.col("table_name").isin(*self.active))
-        results = {}
-        for name, job in self.jobs.items():
-            sub = raw.where(F.col("table_name") == name).drop("table_name")
-            results[name] = job.apply_batch(spark, batch_id, sub)
-        return results
+        # ONE materialization of the micro-batch per trigger; every sub-job
+        # routes from this cache (the DDL sweep is its first action, so the
+        # cache fills exactly once).
+        cached = raw.persist()
+        try:
+            # single driver-side DDL sweep for the whole batch (DDL rows are
+            # rare and tiny — reference: applier DDL branch, SURVEY.md §2 T3)
+            ddl = (
+                cached.where(F.col("op") == "DDL")
+                .select("lsn", "table_name", "payload")
+                .collect()
+            )
+            ddl_by_table: dict[str, list[tuple[int, str]]] = {}
+            for r in sorted(ddl, key=lambda r: r.lsn):
+                try:
+                    is_create = json.loads(r.payload).get("action") == "create_table"
+                except (ValueError, AttributeError):
+                    is_create = False
+                if is_create and self.table_root is not None:
+                    self._register_create(r.table_name, r.lsn, r.payload)
+                ddl_by_table.setdefault(r.table_name, []).append((r.lsn, r.payload))
+
+            # allowlist prune AFTER registration so a table created mid-feed
+            # replicates from its very first batch
+            results = {}
+            for name, job in self.jobs.items():
+                sub = cached.where(F.col("table_name") == name).drop("table_name")
+                results[name] = job.apply_batch(
+                    spark, batch_id, sub, ddl_rows=ddl_by_table.get(name, [])
+                )
+            return results
+        finally:
+            cached.unpersist()
 
     def run_to_completion(
         self,

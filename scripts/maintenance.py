@@ -53,7 +53,7 @@ def main() -> None:
             "n_buckets": snap["n_buckets"],
             "merge_mode": snap.get("merge_mode"),
             "update_mode": snap.get("update_mode", "full"),
-            "n_files": len(snap["files"]),
+            "n_files": len(table.files(snap)),
             "delta_depth": table.delta_depth(snap),
         }))
         return

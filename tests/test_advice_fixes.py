@@ -227,3 +227,57 @@ def test_reprocess_still_invalid_rows_requarantined_once(spark, tmp_path):
     assert r["reprocessed_batches"] == ["batch=0"]
     # still-broken row re-quarantined under batch=5 only
     assert sorted(os.listdir(qdir)) == ["batch=5"]
+
+
+# ------------------------------------------------ 5. notification hook (T11)
+def test_quarantine_alert_fires_with_counts(spark, tmp_path):
+    alerts = []
+    tbl_path = str(tmp_path / "t3")
+    LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    job = IngestJob(
+        tbl_path, str(tmp_path / "ctl3"), on_error="quarantine",
+        quarantine_path=str(tmp_path / "q3"), on_alert=alerts.append,
+    )
+    job.apply_batch(spark, 0, _feed_df(spark, [
+        (1, "I", None, "c1", 0, "{broken"),
+        (2, "I", None, None, 0, '{"role": "user", "text": "x"}'),  # missing key
+        (3, "I", None, "c2", 0, '{"role": "user", "text": "ok"}'),
+    ]))
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["kind"] == "quarantine" and a["batch_id"] == 0 and a["rows"] == 2
+    assert sum(a["errors"].values()) == 2 and "missing merge key" in a["errors"]
+    # durable audit trail written regardless of the callback
+    trail = open(str(tmp_path / "ctl3" / "alerts.jsonl")).read()
+    assert '"quarantine"' in trail
+
+
+def test_abort_alert_fires_and_reraises(spark, tmp_path):
+    alerts = []
+    tbl_path = str(tmp_path / "t4")
+    LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    job = IngestJob(
+        tbl_path, str(tmp_path / "ctl4"), on_error="abort", on_alert=alerts.append
+    )
+    with pytest.raises(Exception):
+        job.apply_batch(spark, 7, _feed_df(spark, [(1, "I", None, "c1", 0, "{broken")]))
+    assert alerts and alerts[0]["kind"] == "abort" and alerts[0]["batch_id"] == 7
+
+
+def test_failing_alert_hook_does_not_fail_batch(spark, tmp_path):
+    def bad_hook(event):
+        raise RuntimeError("mailer down")
+
+    tbl_path = str(tmp_path / "t5")
+    LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    job = IngestJob(
+        tbl_path, str(tmp_path / "ctl5"), on_error="quarantine",
+        quarantine_path=str(tmp_path / "q5"), on_alert=bad_hook,
+    )
+    r = job.apply_batch(spark, 0, _feed_df(spark, [
+        (1, "I", None, "c1", 0, "{broken"),
+        (2, "I", None, "c2", 0, '{"role": "user", "text": "ok"}'),
+    ]))
+    assert not r.get("skipped")  # batch applied despite the broken notifier
+    trail = open(str(tmp_path / "ctl5" / "alerts.jsonl")).read()
+    assert "alert_hook_error" in trail and "mailer down" in trail

@@ -57,6 +57,21 @@ def test_decode_pandas_equals_sql(spark, feed_dir):
     assert a.loc[a["op"] == "D", "text"].isna().all()
 
 
+def test_decode_arrow_equals_pandas_impl(spark, feed_dir):
+    """The mapInArrow kernel (default) and the mapInPandas kernel must be
+    value-identical — including the explicit-null-vs-absent `_set_mask`
+    semantics the partial-image mode depends on."""
+    raw = read_feed_batch(spark, feed_dir)
+    bits = {"role": 3, "text": 4, "tool": 5, "ts": 6}
+    a = decode_events(
+        raw, TRANSCRIPT_SCHEMA, field_bits=bits, impl="arrow"
+    ).orderBy("lsn").toPandas()
+    p = decode_events(
+        raw, TRANSCRIPT_SCHEMA, field_bits=bits, impl="pandas"
+    ).orderBy("lsn").toPandas()
+    pd.testing.assert_frame_equal(a, p, check_dtype=False)
+
+
 def test_lww_salted_equals_plain(spark, feed_dir):
     raw = read_feed_batch(spark, feed_dir)
     decoded = decode_events(raw, TRANSCRIPT_SCHEMA)
@@ -129,12 +144,12 @@ def test_mor_compaction_preserves_state(spark, feed_dir, tmp_path):
     for i, c in enumerate(sorted(glob.glob(feed_dir + "/chunk-*.parquet"))):
         job.apply_batch(spark, i, spark.read.parquet(c))
     snap = table.current_snapshot()
-    assert any(e.get("layer") == "delta" for e in snap["files"])
+    assert any(e.get("layer") == "delta" for e in table.files(snap))
     before = table_as_pandas(spark, table)
     r = table.compact(spark)
     assert not r["skipped"]
     snap2 = table.current_snapshot()
-    assert all(e.get("layer") == "base" for e in snap2["files"])
+    assert all(e.get("layer") == "base" for e in table.files(snap2))
     assert snap2["delta_commits"] == 0
     after = table_as_pandas(spark, table)
     pd.testing.assert_frame_equal(before, after)
@@ -225,8 +240,8 @@ def test_rebucket_partition_evolution(spark, feed_dir, tmp_path):
     assert r["n_buckets"] == 16
     snap = job.table.current_snapshot()
     assert snap["n_buckets"] == 16
-    assert {e["bucket"] for e in snap["files"]} - set(range(16)) == set()
-    assert len({e["bucket"] for e in snap["files"]}) > 4
+    assert {e["bucket"] for e in job.table.files(snap)} - set(range(16)) == set()
+    assert len({e["bucket"] for e in job.table.files(snap)}) > 4
     pd.testing.assert_frame_equal(table_as_pandas(spark, job.table), before)
 
     # rest of the feed lands under the new bucketing; final state == oracle

@@ -68,7 +68,7 @@ def test_ddl_metadata_only_and_time_travel(spark, tmp_path):
     ])
     snap_after = tbl.current_snapshot()
     # metadata-only: no data files were rewritten
-    assert snap_after["files"] == snap_before["files"]
+    assert snap_after["manifests"] == snap_before["manifests"]
     out = tbl.read(spark).toPandas()
     assert out.loc[0, "text"] == "hello"
     assert pd.isna(out.loc[0, "tokens"])
