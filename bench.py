@@ -29,13 +29,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "16000000"))
-# Scaling levels: N and 4N worker cores. Default N=2 so BOTH levels sit
-# well within the sandbox's real parallel capacity (the VM's 32 vCPUs
-# deliver ~16-20 cores of measured throughput, and a pandas-UDF stage runs
-# cores×2 processes — JVM task threads + Python workers; see
-# BENCH/BASELINE.md) — the faithful stand-in for N vs 4N executors, which
-# never share cores on a real cluster.
-CORES_N = int(os.environ.get("BENCH_CORES_N", "2"))
+# Scaling levels: N and 4N worker cores. Default N=1 (levels local[1] vs
+# local[4]) so BOTH levels sit well inside the sandbox's physical-core
+# budget: the VM's 32 vCPUs are ~16 physical cores with SMT, and an
+# Arrow-UDF stage runs cores×2 processes (JVM task threads + Python
+# workers), so local[8] already puts 16+ runnable threads on the box and
+# pays an SMT sharing penalty that REAL N vs 4N executor fleets — which
+# never share cores — do not. 1→4 cores (2→8 busy threads) is the faithful
+# stand-in; measured pair efficiency degrades monotonically as the 4N level
+# crosses the SMT line (see BENCH/BASELINE.md).
+CORES_N = int(os.environ.get("BENCH_CORES_N", "1"))
 
 BENCH_QUERIES = [
     "lww_latest_by_user",
@@ -76,14 +79,14 @@ def run_queries() -> dict[str, float]:
     return timings
 
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "4"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
 def _replay_once(feed_dir: str, cores: int, n_buckets: int) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
         "--feed", feed_dir, "--events", str(N_EVENTS), "--cores", str(cores),
-        "--max-files-per-trigger", os.environ.get("BENCH_MFT", "128"),
+        "--max-files-per-trigger", os.environ.get("BENCH_MFT", "256"),
         "--n-buckets", str(n_buckets),
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
@@ -98,14 +101,20 @@ def run_scaling(feed_dir: str) -> dict:
     repeat runs N then 4N back-to-back (adjacent in time → correlated
     conditions); the reported efficiency is the MEDIAN over per-pair
     ratios, with the best throughputs and all pair ratios alongside."""
-    # n_buckets = 4 × (4N cores): enough write parallelism for the larger
-    # level without drowning the smaller one in tiny tasks
-    n_buckets = 16 * CORES_N
+    # n_buckets ≥ 8 × (4N cores), floor 32: enough write parallelism for the
+    # larger level + headroom for skew absorption (measured: 16 buckets is
+    # ~9% slower than 32 at 4 cores — too-coarse buckets serialize the
+    # bucketed delta write)
+    n_buckets = max(32, 16 * CORES_N)
     pairs = []
     best = {CORES_N: None, 4 * CORES_N: None}
-    for _ in range(REPEATS):
-        rn = _replay_once(feed_dir, CORES_N, n_buckets)
-        r4 = _replay_once(feed_dir, 4 * CORES_N, n_buckets)
+    for rep in range(REPEATS):
+        # alternate which level runs first: steal drifts on a minutes
+        # timescale, so a fixed order would systematically favor whichever
+        # level tends to land in the calmer half of each pair window
+        order = (CORES_N, 4 * CORES_N) if rep % 2 == 0 else (4 * CORES_N, CORES_N)
+        res = {c: _replay_once(feed_dir, c, n_buckets) for c in order}
+        rn, r4 = res[CORES_N], res[4 * CORES_N]
         pairs.append(round(r4["events_per_sec"] / (4 * rn["events_per_sec"]), 3))
         for c, r in ((CORES_N, rn), (4 * CORES_N, r4)):
             if best[c] is None or r["events_per_sec"] > best[c]["events_per_sec"]:

@@ -649,6 +649,91 @@ def dedup_prefix_groups(spark, sf_dir):
 
 
 @query(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM (SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM documents) a
+      JOIN (SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM documents) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER ids via distributed connected components —
+    the step after candidate-pair generation that a real dedup pipeline
+    needs (pairs alone don't say which docs to drop; transitive chains
+    A~B~C must land in ONE cluster so one representative survives).
+
+    Candidate edges: equal 40-char-prefix md5 fingerprint (the cheap
+    stand-in for the MinHash-LSH candidate pairs in `minhash_dedup_pairs`;
+    the operator composes with any pair source). Components by iterative
+    min-label propagation: label(u) ← min over {label(u)} ∪ labels(N(u)),
+    repeated until a fixpoint — each iteration is ONE join + ONE groupBy
+    (all distributed, map-side-combinable); the driver only checks the
+    changed-row COUNT for convergence. Iteration count is bounded by the
+    component diameter (near-dup graphs are clique-ish: 2–3 rounds). At
+    true web scale swap the loop body for the alternating large-star/
+    small-star transform (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same per-round plan shape. Oracle: DuckDB
+    recursive CTE computing the identical min-label fixpoint."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 40).cast("binary")).alias("h")
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).persist()
+    try:
+        while True:
+            nbr = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .groupBy(edges["u"].alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
+@query(
     "ngram_jaccard_pairs",
     _SH_CTE
     + """

@@ -319,22 +319,30 @@ def _decode_batch_arrow(
     if field_bits is not None:
         is_i = pc.equal(cols["op"], "I")
         is_d = pc.equal(cols["op"], "D")
+        is_u = pc.and_(pc.invert(pc.fill_null(is_i, False)),
+                       pc.invert(pc.fill_null(is_d, False)))
         mask = pa.array([0] * n, pa.int64()) if n else pa.array([], pa.int64())
+        falses = pa.array([False] * n, pa.bool_())
         for name, fid in field_bits.items():
             names = [name] + renames.get(name, [])
-            pres = presence.get(name)
-            if pres is None:
-                pres = pa.array([False] * n, pa.bool_())
+            pres = pc.fill_null(presence.get(name, falses), False)
             # explicit `"key": null` parses to null but must count as SET:
             # the key-regex over the raw payload catches it (same rule as
-            # the pandas path; see _presence_pattern for why it is sound)
-            hit = None
-            for nm in names:
-                h = pc.match_substring_regex(payload, _presence_pattern(nm))
-                hit = h if hit is None else pc.or_kleene(hit, h)
-            pres = pc.or_kleene(pres, pc.fill_null(hit, False))
+            # the pandas path; see _presence_pattern for why it is sound).
+            # The regex runs ONLY on the candidate minority — U rows whose
+            # parsed value is null (filter → regex → scatter back with
+            # replace_with_mask), not the whole batch: full-image feeds pay
+            # ~zero regex cost.
+            cand = pc.and_(pc.and_(is_u, pc.invert(pres)), valid_payload)
+            if pc.any(cand).as_py():
+                sub = pc.filter(payload, cand)
+                hit = None
+                for nm in names:
+                    h = pc.match_substring_regex(sub, _presence_pattern(nm))
+                    hit = h if hit is None else pc.or_(hit, h)
+                pres = pc.replace_with_mask(pres, cand, hit)
             mask = pc.add(
-                mask, pc.multiply(pc.cast(pc.fill_null(pres, False), pa.int64()),
+                mask, pc.multiply(pc.cast(pres, pa.int64()),
                                   pa.scalar(1 << fid, pa.int64())),
             )
         mask = pc.if_else(is_i, pa.scalar(-1, pa.int64()),

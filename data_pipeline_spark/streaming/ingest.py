@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_spark.functions.decode import decode_events, decode_events_sql
-from data_pipeline_spark.operators.lww import lww_dedup
+from data_pipeline_spark.operators.lww import lww_collapse_agg, lww_dedup
 from data_pipeline_spark.operators.merge import collapse_partial
 from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.sources.feed import read_feed_batch, read_feed_stream
@@ -284,11 +284,18 @@ class IngestJob:
         # Per-batch per-key collapse: full-row images take the max-LSN op
         # (LWW); partial images must COMPOSE stacked updates column-wise, so
         # they go through the sequential-apply fold instead (both are single
-        # map-side-combinable aggregations — SURVEY.md §2 T5).
+        # map-side-combinable aggregations — SURVEY.md §2 T5). The default
+        # full-mode collapse is the max-of-struct HASH aggregation, not the
+        # window: no per-partition sort, better 1→4N scaling (lww.py
+        # docstring has the measurements); salt>1 opts into the salted
+        # two-phase window variant.
         if partial:
             collapsed = collapse_partial(decoded, field_bits)
-        else:
+        elif self.salt:
+            # salt=1 → plain single-window; salt>1 → salted two-phase window
             collapsed = lww_dedup(decoded, salt=self.salt)
+        else:
+            collapsed = lww_collapse_agg(decoded)
         collapsed = collapsed.withColumn("_bucket", self.table.bucket_expr(n_buckets))
 
         if snap_now.get("merge_mode", "cow") == "mor":

@@ -62,6 +62,12 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": "4m",
             "spark.sql.files.openCostInBytes": "512k",
             "spark.local.dir": os.path.join(root, "sparklocal"),
+            # The ingest pipeline's shuffles are already sized to the core
+            # count (2×cores); AQE's post-shuffle coalescing folds the
+            # collapsed-changeset stages below the core count and costs a
+            # consistent ~6% at the 4N level (interleaved A/B, 3 pairs).
+            # Skew-join and the rest of AQE stay on.
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
         },
     )
     tbl = os.path.join(root, "table")

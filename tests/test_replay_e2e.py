@@ -305,3 +305,20 @@ def test_tombstone_only_batch_metrics(spark, tmp_path):
     ctl = job.read_control(spark).toPandas()
     b1 = ctl[ctl["batch_id"] == 1]
     assert b1["rows_applied"].sum() == 2 and b1["rows_deleted"].sum() == 2
+
+
+def test_lww_agg_collapse_equals_window(spark, feed_dir):
+    """The hash-aggregation collapse (ingest default) and the window collapse
+    must pick identical winners — same (lsn, op_rank) total order."""
+    from data_pipeline_spark.operators.lww import lww_collapse_agg
+
+    raw = read_feed_batch(spark, feed_dir)
+    decoded = decode_events(raw, TRANSCRIPT_SCHEMA)
+    via_window = lww_dedup(decoded).orderBy("conv_id", "turn_idx").toPandas()
+    via_agg = (
+        lww_collapse_agg(decoded)
+        .select(*via_window.columns)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(via_window, via_agg)
