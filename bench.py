@@ -107,6 +107,9 @@ def run_scaling(feed_dir: str) -> dict:
     # bucketed delta write)
     n_buckets = max(32, 16 * CORES_N)
     pairs = []
+    pair_steal = []  # hypervisor steal (CPU-sec, whole VM) inside each run's
+    # timed window — a pair whose ratio is corrupted by a steal burst is
+    # identifiable instead of silently polluting the median
     best = {CORES_N: None, 4 * CORES_N: None}
     for rep in range(REPEATS):
         # alternate which level runs first: steal drifts on a minutes
@@ -116,6 +119,9 @@ def run_scaling(feed_dir: str) -> dict:
         res = {c: _replay_once(feed_dir, c, n_buckets) for c in order}
         rn, r4 = res[CORES_N], res[4 * CORES_N]
         pairs.append(round(r4["events_per_sec"] / (4 * rn["events_per_sec"]), 3))
+        pair_steal.append(
+            [rn.get("steal_sec", 0), r4.get("steal_sec", 0)]
+        )
         for c, r in ((CORES_N, rn), (4 * CORES_N, r4)):
             if best[c] is None or r["events_per_sec"] > best[c]["events_per_sec"]:
                 best[c] = r
@@ -129,6 +135,7 @@ def run_scaling(feed_dir: str) -> dict:
         "tput_n": tput_n,
         "tput_4n": tput_4n,
         "pair_efficiencies": pairs,
+        "pair_steal_cpu_sec": pair_steal,
         "median_pair_efficiency": eff_sorted[len(eff_sorted) // 2],
         # ratio of best-of-level throughputs: both numerator and denominator
         # approximate the unencumbered machine (max-of-k over bursty steal),

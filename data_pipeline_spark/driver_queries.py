@@ -688,6 +688,12 @@ def near_dup_clusters(spark, sf_dir):
     small-star transform (Kiveris et al., "Connected Components in
     MapReduce and Beyond") — same per-round plan shape. Oracle: DuckDB
     recursive CTE computing the identical min-label fixpoint."""
+    return _near_dup_components(spark, sf_dir)
+
+
+def _near_dup_components(spark, sf_dir) -> DataFrame:
+    """(doc_id, cluster_id) for every document — the min-label-propagation
+    connected components described in `near_dup_clusters`."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.substring("text", 1, 40).cast("binary")).alias("h")
     )
@@ -731,6 +737,53 @@ def near_dup_clusters(spark, sf_dir):
         return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+
+
+@query(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM (SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM documents) a
+      JOIN (SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM documents) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM cc GROUP BY cluster_id HAVING COUNT(*) > 1
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """The dedup DECISION on top of the connected components: one surviving
+    representative per near-dup cluster (min doc_id — deterministic and
+    engine-portable) and the count each cluster drops. This is the
+    composition a production dedup actually executes — pairs → components →
+    survivors → anti-join the drop set against the corpus; the anti-join
+    itself is the trivial last step so the checkable surface here is the
+    survivor/drop bookkeeping."""
+    cc = _near_dup_components(spark, sf_dir)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .select(
+            "cluster_id", "n_docs", "keep_doc_id",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )
 
 
 @query(
@@ -969,8 +1022,102 @@ def ann_ivf_label_cell(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qe, label AS qlabel FROM embeddings WHERE vec_id = 0
+    ),
+    probed AS (
+      SELECT vec_id, label, ROUND({_COS_DUCK}, 4) AS cos_sim
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0 AND (label = qlabel OR label = (qlabel + 1) % 10)
+    )
+    SELECT vec_id, label, cos_sim
+    FROM probed ORDER BY cos_sim DESC, vec_id LIMIT 15
+    """,
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    """IVF multi-probe ANN: recall at the cell boundary is the classic IVF
+    failure (the true neighbor sits in an adjacent cell), so probe MORE than
+    one cell and take the global top-k over the probed union. Here the probe
+    set is the query's cell plus one deterministic neighbor cell (a real IVF
+    ranks cells by query↔centroid distance — the fixture's `label` IS the
+    coarse quantizer, with no stored centroids, so the probe-set choice is
+    fixed and the oracle mirrors it). Scale shape: probed cells → partition
+    pruning keeps the scan at probes/n_cells of the table; top-k compiles to
+    TakeOrderedAndProject (no global sort)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
+    )
+    cos = _cosine_cols()
+    probed = (
+        e.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("vec_id") != 0)
+            & ((F.col("label") == F.col("qlabel"))
+               | (F.col("label") == (F.col("qlabel") + 1) % 10))
+        )
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+    )
+    return probed.orderBy(F.col("cos_sim").desc(), "vec_id").limit(15)
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _STOP_DUCK = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@query(
+    "vocab_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks
+    WHERE term NOT IN {_STOP_DUCK} AND term <> ''
+    GROUP BY term ORDER BY n DESC, term LIMIT 50
+    """,
+)
+def vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: explode → count → top-k with a total
+    tie-break. Partial+final aggregation collapses counts map-side, and the
+    ordered limit compiles to TakeOrderedAndProject — no global sort. (At
+    100 TB this exact plan is how you build the tokenizer-training term
+    histogram; the explode is the only row-multiplying step and feeds
+    straight into the combiner.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.where(~F.col("term").isin(*_STOPWORDS) & (F.col("term") != ""))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
+@query(
+    "doc_hash_sample",
+    """
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+)
+def doc_hash_sample(spark, sf_dir):
+    """Deterministic ~10% sample by content-independent key hash — the
+    reproducible train/eval split primitive (the same doc lands in the same
+    split on every run, every engine, any partitioning; a TABLESAMPLE is
+    neither deterministic nor engine-portable). md5 hex → int bucket, same
+    construction both engines. Pushdown-friendly: the predicate is a pure
+    row-local expression, no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long") % 10
+    return d.where(bucket == 0).select("doc_id", "source", "lang", "n_chars")
 
 
 @query(

@@ -108,12 +108,19 @@ def _partial_fold(
     """groupBy(key) with: `_bnd` = the last I/D op (row boundary), `_c_<col>`
     = latest op that set the column, `_lsn_max`, `_mask_or` (union of partial
     masks), and max of each extra col (constant per key). One shuffle, fully
-    map-side-combinable — hot keys pre-collapse in each map partition."""
-    ordk = F.struct(F.col("lsn"), _op_rank().alias("_opr"))
+    map-side-combinable — hot keys pre-collapse in each map partition.
+
+    The LWW total order (lsn, op_rank) is PACKED into one long
+    (`lsn*4 + op_rank`, op_rank < 4) so each per-column aggregate is a
+    two-field `max_by(value, ord)` instead of a three-field struct max —
+    half the aggregation-buffer width and no struct comparisons (measured
+    faster on the 16M-event partial replay). `max_by` ignores rows whose
+    ordering key is null, which is exactly the did-not-set-this-column
+    filter. Requires lsn < 2^61 (any realistic SCN/LSN)."""
+    ordk = F.col("lsn") * 4 + _op_rank()
     aggs = [
-        F.max(
-            F.when(F.col("op").isin("I", "D"), F.struct(F.col("lsn"), _op_rank().alias("_opr"), F.col("op")))
-        ).alias("_bnd"),
+        # boundary packed too: op_rank 0=I / 2=D ⇒ ord%4 identifies the op
+        F.max(F.when(F.col("op").isin("I", "D"), ordk)).alias("_bnd_ord"),
         F.max("lsn").alias("_lsn_max"),
         F.bit_or(
             F.when(F.col("op") == "U", F.coalesce(F.col(MASK_COL), F.lit(FULL_MASK).cast("long")))
@@ -121,9 +128,7 @@ def _partial_fold(
     ]
     for c, fid in field_bits.items():
         cond = (F.col("op") == "I") | _mask_has(fid)
-        aggs.append(
-            F.max(F.when(cond, F.struct(F.col("lsn"), _op_rank().alias("_opr"), F.col(c).alias("v")))).alias(f"_c_{c}")
-        )
+        aggs.append(F.max_by(F.col(c), F.when(cond, ordk)).alias(f"_c_{c}"))
     for e in extra_cols:
         aggs.append(F.max(e).alias(e))
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
@@ -152,12 +157,14 @@ def merge_changeset_partial(
     else:
         both = changes
     folded = _partial_fold(both, field_bits, keys, extra_cols)
-    live = folded.where(F.col("_bnd").isNotNull() & (F.col("_bnd.op") == "I"))
+    live = folded.where(
+        F.col("_bnd_ord").isNotNull() & (F.col("_bnd_ord") % 4 == 0)  # last I/D is an I
+    )
     return live.select(
         *[F.col(e) for e in extra_cols],
         F.col("_lsn_max").alias("lsn"),
         *[F.col(k) for k in keys],
-        *[F.col(f"_c_{c}.v").alias(c) for c in field_bits],
+        *[F.col(f"_c_{c}").alias(c) for c in field_bits],
     )
 
 
@@ -184,10 +191,10 @@ def collapse_partial(
     Output: (*extra, lsn, op, MASK_COL, *keys, *cols).
     """
     folded = _partial_fold(changes, field_bits, keys, extra_cols)
-    bnd_op = F.col("_bnd.op")
-    op_out = F.when(F.col("_bnd").isNull(), F.lit("U")).otherwise(bnd_op)
+    bnd_op = F.when(F.col("_bnd_ord") % 4 == 2, F.lit("D")).otherwise(F.lit("I"))
+    op_out = F.when(F.col("_bnd_ord").isNull(), F.lit("U")).otherwise(bnd_op)
     mask_out = (
-        F.when(F.col("_bnd").isNull(), F.coalesce(F.col("_mask_or"), F.lit(0).cast("long")))
+        F.when(F.col("_bnd_ord").isNull(), F.coalesce(F.col("_mask_or"), F.lit(0).cast("long")))
         .when(bnd_op == "D", F.lit(0).cast("long"))
         .otherwise(F.lit(FULL_MASK).cast("long"))
     )
@@ -195,7 +202,7 @@ def collapse_partial(
     for c, fid in field_bits.items():
         bit = F.lit(set_mask_bit(fid)).cast("long")
         keep = op_out.isin("I") | (mask_out.bitwiseAND(bit) != 0)
-        cols.append(F.when(keep, F.col(f"_c_{c}.v")).alias(c))
+        cols.append(F.when(keep, F.col(f"_c_{c}")).alias(c))
     return folded.select(
         *[F.col(e) for e in extra_cols],
         F.col("_lsn_max").alias("lsn"),

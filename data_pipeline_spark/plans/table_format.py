@@ -1122,6 +1122,68 @@ class LakehouseTable:
             df = df.unionByName(p)
         return df
 
+    def stream_changes(self, spark: SparkSession) -> DataFrame:
+        """Streaming changelog tail (CDC-out as a live Structured Streaming
+        source): a file-stream over the table's DELTA layer. Only MOR delta
+        writes partition by ``_del``, so the glob
+        ``data/*/_bucket=*/_del=*`` selects exactly the per-commit collapsed
+        changesets (compaction and overwrite write plain ``_bucket=`` base
+        dirs and are correctly invisible — no re-emission when deltas fold;
+        folded delta FILES remain on disk for time travel until
+        ``expire_snapshots``, so a brand-new checkpoint bootstraps from
+        whatever history is still retained). Downstream pipelines chain off
+        the table live: ``tbl.stream_changes(spark).writeStream...``.
+
+        Emitted: (_change_op, lsn, <current-schema columns>[, _set_mask],
+        _bucket). Semantics and caveats, relative to the batch
+        ``read_changes``/``tail_changes`` (which remain the exact path):
+
+        - at-least-once, file-visibility ordering: delta files land BEFORE
+          their snapshot commit swings, so a merge that crashes between
+          write and commit can emit changes that were never committed
+          (they will be re-emitted as part of the replayed batch's new
+          delta too). Consumers needing exactly-once should merge into an
+          idempotent sink keyed by (key, lsn) — the engine's own merge
+          qualifies — or use ``tail_changes``.
+        - no per-snapshot attribution (``_snapshot_id``/``_batch_id``):
+          the stream sees files, not commits.
+        - column names are read under the CURRENT schema; delta files
+          written before a rename surface those columns as null in the
+          stream (the batch changelog re-projects by field id). Tail from
+          a fresh checkpoint after a rename, or consume via tail_changes.
+        - MOR tables only (COW merges produce no delta files), like
+          read_changes."""
+        snap = self.current_snapshot()
+        partial = self.update_mode(snap) == "partial"
+        fields = self._load_schema(snap["schema_id"])["fields"]
+        struct = T.StructType(
+            [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(OP_COL, T.StringType(), True),
+            ]
+            + ([T.StructField(MASK_COL, T.LongType(), True)] if partial else [])
+            + [T.StructField(f["name"], _spark_type(f["type"]), True) for f in fields]
+        )
+        # recursiveFileLookup turns partition inference OFF (the s<N>
+        # snapshot level under data/ is not key=value and would otherwise
+        # raise CONFLICTING_DIRECTORY_STRUCTURES); the glob still selects
+        # only _del= dirs — i.e. only delta files — and the bucket id comes
+        # back from the file path via the _metadata column.
+        raw = (
+            spark.readStream.schema(struct)
+            .option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.path, "data", "*", "_bucket=*", "_del=*"))
+        )
+        return raw.select(
+            F.col(OP_COL).alias("_change_op"),
+            F.col(LSN_COL).alias("lsn"),
+            *[F.col(f["name"]) for f in fields],
+            *([F.col(MASK_COL)] if partial else []),
+            F.regexp_extract(F.col("_metadata.file_path"), r"_bucket=(\d+)", 1)
+            .cast("int")
+            .alias("_bucket"),
+        )
+
     def tail_changes(
         self, spark: SparkSession, cursor_path: str, on_expired: str = "raise"
     ) -> tuple[DataFrame | None, dict]:

@@ -89,6 +89,18 @@ def main() -> None:
         wjob = IngestJob(wtbl, os.path.join(root, "wctl"), salt=args.salt, decoder=args.decoder)
         wjob.run_to_completion(spark, wfeed, os.path.join(root, "wckpt"), max_files_per_trigger=1)
 
+    def steal_ticks() -> int:
+        # hypervisor steal during the timed window (USER_HZ ticks, whole VM):
+        # reported so a run recorded in a steal burst is IDENTIFIABLE —
+        # the sandbox host intermittently steals multiple vCPUs for minutes
+        # (measured up to ~480 CPU-seconds inside one replay)
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:  # noqa: BLE001 — non-Linux / restricted proc
+            return 0
+
+    s0 = steal_ticks()
     t0 = time.monotonic()
     if args.mode == "stream":
         job.run_to_completion(
@@ -107,6 +119,7 @@ def main() -> None:
         "events": args.events,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(args.events / wall, 1),
+        "steal_sec": round((steal_ticks() - s0) / 100.0, 1),
         "final_rows": final_rows,
         "mode": args.mode,
         "decoder": args.decoder,
