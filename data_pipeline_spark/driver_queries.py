@@ -80,6 +80,25 @@ def lww_latest_by_user(spark, sf_dir):
     )
 
 
+@query("lww_agg_by_user", SQL.get("lww_latest_by_user"))
+def lww_agg_by_user(spark, sf_dir):
+    """Same result via the max-of-struct HASH-aggregation collapse
+    (`lww_collapse_agg`) — the ingest path's default since round 2: no
+    per-partition sort, map-side partial aggregation pre-collapses hot
+    keys. Oracle-checked against the identical window formulation."""
+    from data_pipeline_spark.operators.lww import lww_collapse_agg
+
+    ev = _t(spark, sf_dir, "events")
+    last = lww_collapse_agg(ev, keys=("user_id",), lsn_col="event_id")
+    return last.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
 @query("lww_salted_by_user", SQL.get("lww_latest_by_user"))
 def lww_salted_by_user(spark, sf_dir):
     """Same result via the salted two-phase dedup (hot-key skew path, §4.2)."""

@@ -30,7 +30,10 @@ def main() -> None:
         "hot key ships <=1 row per map partition and the salt phase's extra "
         "shuffle only costs — measured ~15%% slower with salt=8); set >1 to "
         "exercise the salted two-phase path")
-    ap.add_argument("--max-files-per-trigger", type=int, default=8)
+    ap.add_argument("--max-files-per-trigger", type=int, default=256,
+        help="replay/backfill default drains the feed in one AvailableNow "
+        "batch (throughput mode, matches bench.py); lower it to exercise "
+        "many-micro-batch streaming behavior")
     ap.add_argument("--decoder", default="pandas", choices=["pandas", "sql"])
     ap.add_argument("--update-mode", default="full", choices=["full", "partial"])
     ap.add_argument("--mode", default="stream", choices=["stream", "batch"])
