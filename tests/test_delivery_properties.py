@@ -174,3 +174,48 @@ def test_random_partial_sequences_match_sequential_oracle(
     assert actual["text"].tolist() == expected["text"].tolist()
     exp_tool = [None if pd.isna(x) else x for x in expected["tool"]]
     assert actual["tool"].tolist() == exp_tool
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # conv index
+            st.integers(min_value=0, max_value=2),   # turn index
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_agg_collapse_equals_window_on_random_sequences(spark, ops):
+    """Property: the hash-aggregation LWW collapse (`lww_collapse_agg`, the
+    ingest default) picks the SAME winner per key as the window formulation
+    for every op sequence — including same-LSN would-be ties broken by
+    op_rank (D > U > I)."""
+    import json as _json
+
+    from data_pipeline_spark.functions.decode import decode_events
+    from data_pipeline_spark.operators.lww import lww_collapse_agg, lww_dedup
+
+    rows = []
+    for lsn, (ci, ti, op) in enumerate(ops, start=1):
+        payload = (
+            None
+            if op == "D"
+            else _json.dumps({"role": "user", "text": f"t{lsn}", "ts": "2026-01-01T00:00:00"})
+        )
+        rows.append((lsn, op, None, f"c{ci}", ti, payload))
+    raw = spark.createDataFrame(
+        rows,
+        "lsn long, op string, ts timestamp, conv_id string, turn_idx int, payload string",
+    )
+    decoded = decode_events(raw, TRANSCRIPT_SCHEMA)
+    w = lww_dedup(decoded).orderBy("conv_id", "turn_idx").toPandas()
+    a = (
+        lww_collapse_agg(decoded)
+        .select(*w.columns)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(w, a)
