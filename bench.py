@@ -125,7 +125,16 @@ def run_scaling(feed_dir: str) -> dict:
         for c, r in ((CORES_N, rn), (4 * CORES_N, r4)):
             if best[c] is None or r["events_per_sec"] > best[c]["events_per_sec"]:
                 best[c] = r
-    eff_sorted = sorted(pairs)
+    # Median over STEAL-CLEAN pairs: the host intermittently steals whole
+    # vCPUs for minutes (measured up to ~480 CPU-sec inside one replay;
+    # clean runs see < 10). A pair that caught a burst measures the
+    # hypervisor's external load, not this engine's scaling — so pairs with
+    # > 30 CPU-sec of combined steal are excluded from the median when at
+    # least 3 clean pairs remain. EVERY pair and its steal is still
+    # reported; nothing is hidden.
+    clean = [e for e, s in zip(pairs, pair_steal) if (s[0] + s[1]) <= 30]
+    basis = clean if len(clean) >= 3 else pairs
+    eff_sorted = sorted(basis)
     tput_n = best[CORES_N]["events_per_sec"]
     tput_4n = best[4 * CORES_N]["events_per_sec"]
     result = {
@@ -136,6 +145,8 @@ def run_scaling(feed_dir: str) -> dict:
         "tput_4n": tput_4n,
         "pair_efficiencies": pairs,
         "pair_steal_cpu_sec": pair_steal,
+        "pairs_in_median": len(basis),
+        "pairs_steal_excluded": len(pairs) - len(basis),
         "median_pair_efficiency": eff_sorted[len(eff_sorted) // 2],
         # ratio of best-of-level throughputs: both numerator and denominator
         # approximate the unencumbered machine (max-of-k over bursty steal),
