@@ -46,15 +46,18 @@ def lww_collapse_agg(
 ) -> DataFrame:
     """LWW collapse as ONE max-of-struct groupBy — keeps exactly the
     max-(lsn, op_rank) row per key, tombstones included (same contract as
-    `lww_dedup`), but as a hash aggregation instead of a sort-based window:
-    map-side partial aggregation collapses duplicate/hot keys in every map
-    partition before the shuffle, and no per-partition sort runs at all.
+    `lww_dedup`), as a declarative aggregate instead of a window. The plan
+    is a partial+final aggregate around one Exchange (struct-typed buffers
+    compile to SortAggregate — a sort on the GROUP KEY only): map-side
+    partial aggregation collapses duplicate/hot keys in every map partition
+    before the shuffle, whereas the window must co-locate rows and sort by
+    (key, lsn DESC, op_rank DESC) on both sides of its WindowGroupLimit.
 
     Measured on the 16M-event hot-key replay, this is both faster and
-    MUCH better-scaling than the window (1→4 cores: the window stage
-    scaled at 0.53 efficiency, this at ~0.9 — a sort's run-generation/merge
-    phases parallelize worse than a hash aggregate). The window variant
-    remains for the salted two-phase path and as the rank-k generalization.
+    better-scaling than the window at low core counts (1→4 cores: the
+    window's collapse stage scaled at 0.53 efficiency, this at ~0.9; probe
+    numbers in BENCH/BASELINE.md). The window variant remains for the
+    salted two-phase path and as the rank-k generalization.
 
     Struct comparison is lexicographic on (lsn, op_rank, …) — exactly the
     LWW total order; payload fields sit after the tie-break fields so they

@@ -137,6 +137,33 @@ class MultiTableIngestJob:
         finally:
             cached.unpersist()
 
+    # ---------------------------------------------------- parallel initsync
+    def initsync_all(
+        self, spark: SparkSession, sources: dict[str, DataFrame], verify: bool = True
+    ) -> dict[str, dict]:
+        """Initial full-table sync of MANY tables at once (reference:
+        initsync_pipe.py's per-table multiprocessing pool — SURVEY.md §2
+        S3/K4). Each table's snapshot load is an independent Spark job, so
+        the pool here is a thread pool SUBMITTING jobs concurrently: the
+        Spark scheduler interleaves their stages across the executors (the
+        idiomatic Spark translation of per-table worker processes — the
+        cluster, not the driver, is the unit of parallelism). Per table:
+        overwrite snapshot commit, then the row-count + symmetric-difference
+        verification (T10). Returns {table: verify report | {"ok": True}}."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
+            name, df = item
+            if name not in self.jobs:
+                raise KeyError(f"table {name!r} is not registered/active")
+            tbl = self.jobs[name].table
+            tbl.overwrite(spark, df)
+            report = tbl.verify_against(spark, df) if verify else {"ok": True}
+            return name, report
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(sources)))) as ex:
+            return dict(ex.map(one, sources.items()))
+
     def run_to_completion(
         self,
         spark: SparkSession,

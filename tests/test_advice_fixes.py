@@ -18,6 +18,7 @@ import os
 import time
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from data_pipeline_spark.plans.table_format import (
@@ -281,3 +282,44 @@ def test_failing_alert_hook_does_not_fail_batch(spark, tmp_path):
     assert not r.get("skipped")  # batch applied despite the broken notifier
     trail = open(str(tmp_path / "ctl5" / "alerts.jsonl")).read()
     assert "alert_hook_error" in trail and "mailer down" in trail
+
+
+def test_cursor_expiry_rebootstrap_workflow(spark, tmp_path):
+    """The documented recovery path end-to-end: a consumer whose cursor
+    expired re-bootstraps with a FULL table read, then resumes incremental
+    tailing from the error's `oldest_retained` — and its mirror converges
+    to the source table exactly (nothing lost despite the GC'd deltas)."""
+    src = _mk_table(tmp_path, "src")
+    _merge_n(spark, src, 4)                       # snapshots 1..4
+    cursor = str(tmp_path / "mirror.cursor")
+    LakehouseTable.commit_cursor(cursor, {"snapshot_id": 1})
+    src.expire_snapshots(keep_last=2)             # cursor now below retention
+
+    mirror = _mk_table(tmp_path, "mirror")
+    try:
+        src.tail_changes(spark, cursor)
+        raise AssertionError("expected CursorExpiredError")
+    except CursorExpiredError as e:
+        # 1. re-bootstrap: full table read -> overwrite the mirror
+        mirror.overwrite(spark, src.read(spark, with_lsn=True))
+        # 2. resume tailing from the oldest retained snapshot
+        LakehouseTable.commit_cursor(cursor, {"snapshot_id": e.oldest_retained})
+
+    _merge_n(spark, src, 2, start_lsn=100)        # source keeps moving
+    changes, cur = src.tail_changes(spark, cursor)
+    assert changes is not None
+    mirror.merge(
+        spark, batch_id=0,
+        changes=changes.select(
+            "lsn", F.col("_change_op").alias("op"),
+            *[f.name for f in mirror.schema_struct().fields],
+        ),
+    )
+    LakehouseTable.commit_cursor(cursor, cur)
+
+    a = src.read(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = mirror.read(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # fully caught up: next tail is empty
+    none_changes, _ = src.tail_changes(spark, cursor)
+    assert none_changes is None

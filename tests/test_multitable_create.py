@@ -158,3 +158,69 @@ def test_routing_reads_cached_batch_not_files(spark, tmp_path):
         assert "InMemoryTableScan" in plan
     finally:
         cached.unpersist()
+
+
+def test_initsync_all_parallel(spark, tmp_path):
+    """Parallel multi-table initsync (reference initsync_pipe's per-table
+    worker pool → concurrent Spark job submission): every table snapshot-
+    loaded and verified in one call."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.multi_table import MultiTableIngestJob
+
+    tables = {}
+    sources = {}
+    for name, n in (("chats", 500), ("agents", 300), ("evals", 200)):
+        path = str(tmp_path / "tables" / name)
+        LakehouseTable(path).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+        tables[name] = path
+        sources[name] = (
+            spark.range(n)
+            .select(
+                F.concat(F.lit(f"{name}-"), F.col("id")).alias("conv_id"),
+                (F.col("id") % 7).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.concat(F.lit("text "), F.col("id")).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit(None).cast("timestamp").alias("ts"),
+            )
+        )
+    job = MultiTableIngestJob(tables, str(tmp_path / "ctl"))
+    reports = job.initsync_all(spark, sources)
+    assert set(reports) == {"chats", "agents", "evals"}
+    assert all(r["ok"] for r in reports.values())
+    for name, n in (("chats", 500), ("agents", 300), ("evals", 200)):
+        assert LakehouseTable(tables[name]).read(spark).count() == n
+
+
+def test_multitable_ddl_fanout(spark, tmp_path):
+    """add_column DDL tagged for ONE table in a shared feed evolves only
+    that table (the router's single DDL sweep fans rows out per table)."""
+    import json as _json
+
+    from data_pipeline_spark.streaming.multi_table import (
+        MULTI_EVENT_SCHEMA,
+        MultiTableIngestJob,
+    )
+
+    for name in ("chats", "agents"):
+        LakehouseTable(str(tmp_path / name)).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    job = MultiTableIngestJob(
+        {"chats": str(tmp_path / "chats"), "agents": str(tmp_path / "agents")},
+        str(tmp_path / "ctl"),
+    )
+    rows = [
+        ("chats", 1, "I", None, "c1", 0, '{"role": "user", "text": "a"}'),
+        ("agents", 2, "I", None, "a1", 0, '{"role": "user", "text": "b"}'),
+        ("chats", 3, "DDL", None, None, None,
+         _json.dumps({"action": "add_column", "name": "tokens", "type": "int"})),
+        ("chats", 4, "U", None, "c1", 0, '{"text": "a2", "tokens": 9}'),
+    ]
+    sdf = spark.createDataFrame(rows, schema=MULTI_EVENT_SCHEMA)
+    job.apply_batch(spark, 0, sdf)
+    chats = LakehouseTable(str(tmp_path / "chats"))
+    agents = LakehouseTable(str(tmp_path / "agents"))
+    assert "tokens" in [f.name for f in chats.schema_struct().fields]
+    assert "tokens" not in [f.name for f in agents.schema_struct().fields]
+    out = chats.read(spark).toPandas()
+    assert out.loc[0, "text"] == "a2" and int(out.loc[0, "tokens"]) == 9
