@@ -97,6 +97,14 @@ def _bulk_parse_arrow(
     import pyarrow.json as pj
 
     try:
+        # Only object-shaped payloads may reach the arrow parser: a
+        # top-level `null` row SEGFAULTS pyarrow.json's explicit-schema
+        # reader (pyarrow 16.1 — verified in this sandbox), and top-level
+        # arrays/scalars have pandas-defined semantics (row of absent
+        # fields). Any non-'{'-leading payload sends the batch down the
+        # pandas path.
+        if not payloads.str.lstrip().str.startswith("{").all():
+            return None
         buf = ("\n".join(payloads.tolist())).encode()
         tab = pj.read_json(
             io.BytesIO(buf),
@@ -138,6 +146,24 @@ def _decode_batch(
 
     has_payload = pdf["payload"].notna()
     payloads = pdf.loc[has_payload, "payload"]
+    # A change record's payload must be a JSON OBJECT. Non-object JSON
+    # (`null`, arrays, bare scalars, empty strings) is rejected UP FRONT,
+    # vectorized: it would otherwise take kernel-dependent paths (pandas'
+    # bulk parse silently yields an all-absent row for `null`, the per-row
+    # isolation loop crashed on it, and pyarrow's explicit-schema reader
+    # SEGFAULTS on it — found by hypothesis). One rule everywhere:
+    # quarantine under with_validity, abort otherwise.
+    if len(payloads):
+        non_object = ~payloads.str.lstrip().str.startswith("{")
+        if non_object.any():
+            if not with_validity:
+                bad_i = non_object.idxmax()
+                raise ValueError(
+                    f"payload is not a JSON object: {payloads.loc[bad_i]!r}"
+                )
+            for i in payloads.index[non_object]:
+                errors.loc[i] = "payload is not a JSON object"
+            payloads = payloads[~non_object]
     if len(payloads):
         # One C-level JSON parse for the whole batch (vectorized decode):
         # pyarrow's block-split ndjson parser first, pandas' read_json as
@@ -146,8 +172,14 @@ def _decode_batch(
         parsed = _bulk_parse_arrow(payloads, table_fields, renames)
         try:
             if parsed is None:
+                # dtype=False / convert_dates=False: read_json's inference
+                # would coerce a string column whose values all LOOK numeric
+                # into ints (found by hypothesis: {"text": "0"} became 0) —
+                # JSON already carries the types; keep them verbatim like
+                # the arrow kernel and the per-row loop do
                 parsed = pd.read_json(
-                    io.StringIO("[" + ",".join(payloads.tolist()) + "]"), orient="records"
+                    io.StringIO("[" + ",".join(payloads.tolist()) + "]"),
+                    orient="records", dtype=False, convert_dates=False,
                 )
                 parsed.index = payloads.index
         except ValueError:
@@ -158,7 +190,10 @@ def _decode_batch(
             rows, bad = {}, {}
             for i, p in payloads.items():
                 try:
-                    rows[i] = _json.loads(p)
+                    obj = _json.loads(p)
+                    if not isinstance(obj, dict):
+                        raise ValueError("payload is not a JSON object")
+                    rows[i] = obj
                 except Exception as e:  # noqa: BLE001 — quarantine any parse error
                     bad[i] = f"{type(e).__name__}: {e}"
             parsed = pd.DataFrame.from_dict(rows, orient="index")
@@ -253,6 +288,13 @@ def _decode_batch_arrow(
     if len(nonnull):
         import pyarrow.json as pj
 
+        # object-shaped payloads only — see _bulk_parse_arrow: a top-level
+        # `null` row segfaults pyarrow.json's explicit-schema reader, and
+        # non-object payloads have pandas-defined semantics (fallback path)
+        if not pc.all(
+            pc.starts_with(pc.utf8_ltrim_whitespace(nonnull), "{")
+        ).as_py():
+            raise ValueError("non-object payload: pandas path defines semantics")
         joined = pc.binary_join(
             pa.ListArray.from_arrays([0, len(nonnull)], nonnull), "\n"
         )
