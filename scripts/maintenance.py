@@ -3,6 +3,7 @@
 Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`:
 
     python scripts/maintenance.py --table <path> status
+    python scripts/maintenance.py --table <path> history
     python scripts/maintenance.py --table <path> compact [--buckets 3,7,12]
     python scripts/maintenance.py --table <path> expire --keep-last 4
     python scripts/maintenance.py --table <path> rebucket --n-buckets 256
@@ -28,6 +29,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("status")
+    sub.add_parser("history")
     c = sub.add_parser("compact")
     c.add_argument("--buckets", default=None, help="comma-separated bucket ids; default: all with deltas")
     e = sub.add_parser("expire")
@@ -54,8 +56,22 @@ def main() -> None:
             "merge_mode": snap.get("merge_mode"),
             "update_mode": snap.get("update_mode", "full"),
             "n_files": len(table.files(snap)),
+            "n_manifests": len(snap.get("manifests", [])),
             "delta_depth": table.delta_depth(snap),
         }))
+        return
+
+    if args.cmd == "history":
+        for s in table.history():
+            print(json.dumps({
+                "snapshot_id": s["snapshot_id"],
+                "kind": s["kind"],
+                "batch_id": s.get("batch_id"),
+                "watermark_lsn": s.get("watermark_lsn"),
+                "schema_id": s["schema_id"],
+                "n_manifests": len(s.get("manifests", [])),
+                "committed_at": s.get("committed_at"),
+            }))
         return
 
     from data_pipeline_spark.session import get_spark
