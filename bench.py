@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "cosine_similar_to_query",
     "doc_quality_scores",
+    # round-2 additions
+    "lww_agg_by_user",
+    "vocab_top_terms",
+    "doc_hash_sample",
+    "simhash_docs",
+    "ann_ivf_multiprobe",
 ]
 
 
