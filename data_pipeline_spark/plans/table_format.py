@@ -208,6 +208,14 @@ class LakehouseTable:
     # Removal ops (COW merge, compact, rebucket) rewrite ONLY the manifests
     # whose bucket range intersects the affected buckets; the rest carry by
     # name. Manifest files are immutable → cached by name after first load.
+    #
+    # Manifest-LIST length is bounded by compaction, not by table size: a
+    # delta manifest lives until auto-compaction folds its buckets (depth
+    # threshold `compact_every`), so the list holds O(compact_every ×
+    # n_buckets) refs worst-case (~100 B each — a few hundred KB at 128
+    # buckets), and base manifests consolidate on every compact/rebucket.
+    # expire_snapshots deletes manifest files no retained snapshot
+    # references.
 
     def _write_manifest(self, snapshot_id: int, entries: list[dict]) -> dict:
         name = f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.json"
