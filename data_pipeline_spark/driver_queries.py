@@ -1365,6 +1365,65 @@ def multimodal_decode_meta(spark, sf_dir):
     )
 
 
+def _frame_sample_fn(it):
+    """Row-MULTIPLYING multimodal UDF: one input blob → one output row per
+    sampled frame (every 5th of the stub codec's frame count). This is the
+    batch shape real video frame-extraction has — the pandas kernel builds
+    the exploded frame table with `np.repeat`/concatenated ranges, zero
+    per-row Python; the codec itself stays the declared deterministic stub
+    (no media libs in the sandbox)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        n_bytes = pdf["blob"].str.len().to_numpy(dtype=np.int64)
+        n_frames = (n_bytes % 24 + 1).astype(np.int64)
+        n_sampled = (n_frames + 4) // 5  # ceil(n_frames / 5), stride 5
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_sampled)
+        bytes_rep = np.repeat(n_bytes, n_sampled)
+        # frame_idx = 0,5,10,... per doc: global arange minus each doc's
+        # start offset, times the stride
+        total = int(n_sampled.sum())
+        starts = np.repeat(np.concatenate(([0], np.cumsum(n_sampled)[:-1])), n_sampled)
+        frame_idx = ((np.arange(total) - starts) * 5).astype(np.int32)
+        sig = ((bytes_rep * 31 + frame_idx * 7) % 997).astype(np.int32)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": frame_idx, "frame_sig": sig}
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT m.doc_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST((m.n_bytes * 31 + f.frame_idx * 7) % 997 AS INT) AS frame_sig
+    FROM meta m, LATERAL (
+      SELECT unnest(range(0, m.n_frames, 5)) AS frame_idx
+    ) f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: binary column → every-5th-frame rows via
+    a row-multiplying mapInPandas (Arrow batches in, MORE rows out — the
+    plumbing shape of real video frame extraction / audio chunking). The
+    frame count and per-frame signature are pure functions of the blob's
+    byte length (the declared stub codec), which makes the WHOLE exploded
+    pipeline DuckDB-oracle-checkable (LATERAL range unnest)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return d.mapInPandas(
+        _frame_sample_fn, schema="doc_id bigint, frame_idx int, frame_sig int"
+    )
+
+
 def cdc_replay_transcripts(spark, sf_dir):
     """Full engine replay on a deterministic synthetic feed: generate →
     decode (Arrow UDF) → LWW dedup → COW merge → read final table. The
