@@ -30,9 +30,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return driver_queries.Q["lww_latest_by_user"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness check covers the FIRST 50 registry entries.
+# The full operator registry (driver_queries.Q) holds more than that, so the
+# driver-facing view below (a) excludes alternate-implementation entries that
+# oracle against an IDENTICAL SQL to a kept entry and are pytest-gated for
+# equality instead (lww_salted_by_user / lww_agg_by_user vs
+# lww_latest_by_user in tests/test_replay_e2e.py and
+# tests/test_delivery_properties.py; simhash_docs is bit-equality-gated by
+# tests/test_simhash_oracle.py and its Catalyst twin simhash16_docs keeps a
+# DuckDB oracle row), and (b) front-loads one query per SURVEY.md §2.2
+# category so every category has an oracle row inside any check window.
+# tests/test_registry_window.py pins: ≤ 50 entries, priorities present,
+# excluded operators still live in Q (bench + pytest paths).
+_EXCLUDE = {"lww_salted_by_user", "lww_agg_by_user", "simhash_docs"}
+_FIRST = [
+    "lww_latest_by_user",            # T5 LWW dedup (flagship)
+    "cdc_apply_merge",               # K3 MERGE apply
+    "cdc_partial_image_fold",        # T5 partial images
+    "recovery_filter_counts",        # T4 LSN recovery
+    "audit_batch_lineage",           # T9 lineage
+    "interval_join_signup_followup", # joins: interval (unchecked in r2)
+    "cumulative_revenue_by_customer",# window frames (unchecked in r2)
+    "orders_pivot_status",           # pivot/conditional agg (unchecked in r2)
+    "asof_prev_click_per_purchase",  # joins: as-of
+    "top3_orders_per_customer",      # window rank
+    "grouping_sets_revenue",         # agg: grouping sets
+    "sessionize_events",             # stateful sessionization
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(driver_queries.Q)
+    rest = [n for n in driver_queries.Q if n not in _EXCLUDE and n not in _FIRST]
+    return {n: driver_queries.Q[n] for n in _FIRST + rest}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(driver_queries.SQL)
+    return {n: driver_queries.SQL[n] for n in queries() if n in driver_queries.SQL}

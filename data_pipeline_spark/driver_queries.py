@@ -1376,6 +1376,8 @@ def _frame_sample_fn(it):
     import pandas as pd
 
     for pdf in it:
+        if not len(pdf):  # np.repeat broadcast fails on the 0-row batch
+            continue
         n_bytes = pdf["blob"].str.len().to_numpy(dtype=np.int64)
         n_frames = (n_bytes % 24 + 1).astype(np.int64)
         n_sampled = (n_frames + 4) // 5  # ceil(n_frames / 5), stride 5

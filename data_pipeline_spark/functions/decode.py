@@ -298,8 +298,12 @@ def _decode_batch_arrow(
         joined = pc.binary_join(
             pa.ListArray.from_arrays([0, len(nonnull)], nonnull), "\n"
         )
+        # zero-copy handoff: BinaryScalar.as_buffer() views the join result's
+        # data buffer directly — no Python str materialization of the batch
+        # (the old `.as_py().encode()` copied every payload through a Python
+        # string once per batch on the hot decode path).
         tab = pj.read_json(
-            io.BytesIO(joined.as_py().encode()),
+            pa.BufferReader(pc.cast(joined, pa.binary())[0].as_buffer()),
             read_options=pj.ReadOptions(use_threads=False),
             parse_options=pj.ParseOptions(
                 explicit_schema=_arrow_payload_schema(table_fields, renames),
@@ -387,8 +391,12 @@ def _decode_batch_arrow(
                 mask, pc.multiply(pc.cast(pres, pa.int64()),
                                   pa.scalar(1 << fid, pa.int64())),
             )
-        mask = pc.if_else(is_i, pa.scalar(-1, pa.int64()),
-                          pc.if_else(is_d, pa.scalar(0, pa.int64()), mask))
+        # null-filled conditions: a null op must take the U branch (emit the
+        # computed mask), matching the pandas kernel — a null condition in
+        # if_else would otherwise null the output mask for that row.
+        mask = pc.if_else(pc.fill_null(is_i, False), pa.scalar(-1, pa.int64()),
+                          pc.if_else(pc.fill_null(is_d, False),
+                                     pa.scalar(0, pa.int64()), mask))
         cols["_set_mask"] = mask
     if with_validity:
         missing_key = pc.or_kleene(

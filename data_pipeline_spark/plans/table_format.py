@@ -303,10 +303,12 @@ class LakehouseTable:
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
+        linked = False
         try:
             for attempt in (0, 1):
                 try:
                     os.link(tmp, path)
+                    linked = True
                     break
                 except FileExistsError:
                     try:
@@ -336,6 +338,14 @@ class LakehouseTable:
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
+        if not linked:
+            # Both attempts raced a concurrent reclaimer (link → EEXIST, then
+            # stat → ENOENT). Swinging the hint here could publish a snapshot
+            # file we never authored — surface the conflict instead.
+            raise CommitConflictError(
+                f"snapshot {snap['snapshot_id']} link retries exhausted "
+                "racing a concurrent reclaimer"
+            )
         hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(hint_tmp, "w") as f:
             f.write(name)
@@ -982,6 +992,12 @@ class LakehouseTable:
                 # old values do not resurface (Iceberg drop semantics).
             else:
                 raise ValueError(f"unknown DDL action {action}")
+        if fields == sch["fields"] and last_column_id == self._last_column_id(sch):
+            # every descriptor was a replay/create no-op: committing anyway
+            # would bump schema_id + append a 'ddl' snapshot on EVERY replay
+            # of the batch (checkpoint recovery, create_table fan-out) —
+            # unbounded metadata churn for zero schema change.
+            return {"skipped": True}
         new_schema_id = snap["schema_id"] + 1
         self._write_json(
             f"schema-{new_schema_id}.json",

@@ -464,6 +464,14 @@ class IngestJob:
             pending = [d for d in pending if d in want]
         if not pending:
             return {"skipped": True, "reprocessed_batches": []}
+        if f"batch={batch_id}" in pending:
+            # rows re-quarantined during this apply land in batch=<batch_id>;
+            # if that dir is itself pending we'd retire them below and lose
+            # still-invalid rows from the queue — refuse up front.
+            raise ValueError(
+                f"reprocess batch_id {batch_id} collides with a pending "
+                "quarantine dir; pick a batch_id not in the pending set"
+            )
         q = spark.read.parquet(*[os.path.join(qdir, d) for d in pending])
         env = q.select(
             "lsn", "op",
