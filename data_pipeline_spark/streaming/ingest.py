@@ -33,6 +33,10 @@ from data_pipeline_spark.operators.merge import collapse_partial
 from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.sources.feed import read_feed_batch, read_feed_stream
 
+#: Driver-side cap on collected DDL rows per batch (DDL is rare and tiny by
+#: design; crossing this means a malformed feed — abort, don't OOM).
+DDL_ROW_CAP = 10_000
+
 
 class IngestJob:
     def __init__(
@@ -241,11 +245,22 @@ class IngestJob:
         if ddl_rows is None:
             has_ddl = raw.where(F.col("op") == "DDL").select("lsn").first() is not None
             rows = (
-                raw.where(F.col("op") == "DDL").select("lsn", "payload").collect()
+                raw.where(F.col("op") == "DDL")
+                .select("lsn", "payload")
+                .limit(DDL_ROW_CAP + 1)
+                .collect()
                 if has_ddl
                 else []
             )
             ddl_rows = [(r.lsn, r.payload) for r in rows]
+        if len(ddl_rows) > DDL_ROW_CAP:
+            # driver-memory guard: DDL is rare/tiny by design; a poisoned
+            # feed flooding DDL rows must abort (alerted by apply_batch's
+            # wrapper) instead of OOM-ing the driver through the collect
+            raise ValueError(
+                f"batch {batch_id}: more than {DDL_ROW_CAP} DDL rows — "
+                "refusing an unbounded driver-side DDL sweep"
+            )
         if ddl_rows:
             descriptors = [json.loads(p) for _, p in sorted(ddl_rows)]
             self.table.apply_ddl(descriptors)

@@ -50,6 +50,13 @@ MULTI_EVENT_SCHEMA = T.StructType(
 
 
 class MultiTableIngestJob:
+    #: Driver-side cap on collected DDL rows per batch. DDL is rare and tiny
+    #: by design (the sweep is a driver-side metadata op); a malformed feed
+    #: that floods DDL rows would otherwise OOM the driver through the
+    #: collect. Crossing the cap aborts the batch with an alert — the stream
+    #: stops cleanly and resumes from the checkpoint once the feed is fixed.
+    DDL_ROW_CAP = 10_000
+
     def __init__(
         self,
         tables: dict[str, str],  # table_name -> LakehouseTable path
@@ -58,12 +65,14 @@ class MultiTableIngestJob:
         table_root: str | None = None,  # where create_table tables materialize;
         # None disables dynamic registration (strict static allowlist)
         create_defaults: dict | None = None,  # n_buckets/merge_mode/... for creates
+        apply_concurrency: int = 8,  # per-table apply jobs submitted at once
         **ingest_kwargs,
     ):
         self.active = set(active) if active is not None else set(tables)
         self.control_root = control_root
         self.table_root = table_root
         self.create_defaults = dict(create_defaults or {})
+        self.apply_concurrency = apply_concurrency
         # sub-jobs never probe for DDL themselves: the router's single sweep
         # hands each one its rows (ddl_rows=[...] below)
         ingest_kwargs.setdefault("ddl_fast_scan", False)
@@ -109,12 +118,25 @@ class MultiTableIngestJob:
         cached = raw.persist()
         try:
             # single driver-side DDL sweep for the whole batch (DDL rows are
-            # rare and tiny — reference: applier DDL branch, SURVEY.md §2 T3)
+            # rare and tiny — reference: applier DDL branch, SURVEY.md §2 T3).
+            # The limit caps driver memory: a DDL bomb aborts with an alert
+            # instead of OOM-ing the driver through an unbounded collect.
             ddl = (
                 cached.where(F.col("op") == "DDL")
                 .select("lsn", "table_name", "payload")
+                .limit(self.DDL_ROW_CAP + 1)
                 .collect()
             )
+            if len(ddl) > self.DDL_ROW_CAP:
+                self._alert({
+                    "kind": "abort",
+                    "batch_id": batch_id,
+                    "error": f"DDL bomb: > {self.DDL_ROW_CAP} DDL rows in one batch",
+                })
+                raise ValueError(
+                    f"batch {batch_id}: more than {self.DDL_ROW_CAP} DDL rows — "
+                    "refusing to collect an unbounded DDL sweep on the driver"
+                )
             ddl_by_table: dict[str, list[tuple[int, str]]] = {}
             for r in sorted(ddl, key=lambda r: r.lsn):
                 try:
@@ -126,16 +148,49 @@ class MultiTableIngestJob:
                 ddl_by_table.setdefault(r.table_name, []).append((r.lsn, r.payload))
 
             # allowlist prune AFTER registration so a table created mid-feed
-            # replicates from its very first batch
-            results = {}
-            for name, job in self.jobs.items():
+            # replicates from its very first batch.
+            #
+            # Per-table applies are submitted CONCURRENTLY from a thread pool
+            # over the shared cached batch (same pattern as initsync_all):
+            # each table's decode→collapse→write is an independent Spark job
+            # against its own table dir + control dir, so the Spark scheduler
+            # interleaves their stages across the executors instead of the
+            # batch wall-clock being the SUM of per-table merges while the
+            # cluster idles between them (the r2 review's remaining at-scale
+            # liability — reference initsync used a multiprocessing pool per
+            # table for the same reason).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(item: tuple[str, "IngestJob"]) -> tuple[str, dict]:
+                name, job = item
                 sub = cached.where(F.col("table_name") == name).drop("table_name")
-                results[name] = job.apply_batch(
+                return name, job.apply_batch(
                     spark, batch_id, sub, ddl_rows=ddl_by_table.get(name, [])
                 )
-            return results
+
+            workers = max(1, min(self.apply_concurrency, len(self.jobs)))
+            if workers == 1:
+                return dict(one(item) for item in self.jobs.items())
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                return dict(ex.map(one, list(self.jobs.items())))
         finally:
             cached.unpersist()
+
+    def _alert(self, event: dict) -> None:
+        """Router-level durable alert (per-table alerts live with each
+        sub-job's control dir; batch-level failures land here)."""
+        from datetime import datetime, timezone
+
+        os.makedirs(self.control_root, exist_ok=True)
+        event = {**event, "at": datetime.now(timezone.utc).isoformat()}
+        with open(os.path.join(self.control_root, "alerts.jsonl"), "a") as f:
+            f.write(json.dumps(event) + "\n")
+        hook = self._ingest_kwargs.get("on_alert")
+        if hook is not None:
+            try:
+                hook(event)
+            except Exception:  # noqa: BLE001 — a broken notifier never masks the abort
+                pass
 
     # ---------------------------------------------------- parallel initsync
     def initsync_all(
