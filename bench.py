@@ -69,20 +69,35 @@ BENCH_QUERIES = [
 ]
 
 
-def run_queries() -> dict[str, float]:
+def _steal_ticks() -> int:
+    """Hypervisor steal (USER_HZ ticks, whole VM) — same telemetry the
+    replay job reports, so a query phase recorded inside a steal burst is
+    identifiable (r2's uniform 1.2–2× per-query 'regression' was exactly
+    this: the query phase had no steal counter, so environment noise was
+    indistinguishable from a real slowdown)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:  # noqa: BLE001 — non-Linux / restricted proc
+        return 0
+
+
+def run_queries() -> tuple[dict[str, float], float]:
     from data_pipeline_spark import driver_queries
     from data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=CPUS)
     timings: dict[str, float] = {}
+    s0 = _steal_ticks()
     for name in BENCH_QUERIES:
         fn = driver_queries.Q[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+    steal = round((_steal_ticks() - s0) / 100.0, 1)
     spark.stop()
-    return timings
+    return timings, steal
 
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
@@ -177,13 +192,18 @@ def main() -> None:
     # feed for the replay benchmark (deterministic, hot-key skewed)
     from data_pipeline_spark.sources.feed import FeedSpec
 
-    queries = run_queries()
+    queries, query_steal = run_queries()
 
     result = {
         "metric": "change_events_applied_per_sec",
         "unit": "events/sec",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "queries": queries,
+        # steal CPU-sec across the whole query loop: ≤ ~30 means the
+        # per-query numbers are trustworthy; hundreds means the host was
+        # stealing vCPUs and absolute times are inflated (compare against a
+        # clean-window run before calling anything a regression)
+        "query_steal_cpu_sec": query_steal,
     }
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         from data_pipeline_spark.session import get_spark

@@ -111,6 +111,30 @@ class CommitConflictError(RuntimeError):
     operation against the new current snapshot."""
 
 
+def with_commit_retry(fn, max_retries: int = 5, base_backoff: float = 0.05):
+    """Iceberg-style optimistic-commit retry for multi-writer callers.
+
+    ``fn`` must be a CLOSURE THAT RE-READS table state itself — every
+    public mutator here does (``merge``/``apply_ddl``/``overwrite``/
+    ``compact`` all call ``current_snapshot()`` at entry), so
+    ``with_commit_retry(lambda: tbl.merge(spark, bid, changes))`` reloads →
+    reapplies → recommits on each attempt. On CommitConflictError the
+    attempt's data files (written under the losing snapshot id's dir) stay
+    on disk as unreferenced orphans — invisible to every reader, reclaimed
+    by maintenance, exactly Iceberg's behavior for a failed optimistic
+    commit. Backoff is exponential with full jitter so two contending
+    writers decorrelate instead of re-colliding in lockstep."""
+    import random
+
+    for attempt in range(max_retries + 1):
+        try:
+            return fn()
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+            time.sleep(base_backoff * (2 ** attempt) * (0.5 + random.random()))
+
+
 class CursorExpiredError(RuntimeError):
     """A changelog consumer's cursor points below the oldest retained
     snapshot: `expire_snapshots` GC'd the delta commits in between, so the
@@ -658,6 +682,25 @@ class LakehouseTable:
             changes = changes.where(F.col("lsn") > F.lit(watermark))
         if "_bucket" not in changes.columns:
             changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
+        # Columns added to the schema AFTER this changeset was decoded (a
+        # concurrent add_column landing between decode and commit, or a
+        # with_commit_retry re-running merge against an evolved snapshot)
+        # are null for these rows by definition — Iceberg's add-column
+        # semantics. Fill them so the retry loop composes with DDL writers;
+        # any OTHER mismatch (e.g. a pre-rename name) still fails analysis.
+        have = set(changes.columns)
+        missing = [
+            f for f in self._load_schema(snap["schema_id"])["fields"]
+            if f["name"] not in have
+        ]
+        if missing:
+            changes = changes.select(
+                "*",
+                *[
+                    F.lit(None).cast(_spark_type(f["type"])).alias(f["name"])
+                    for f in missing
+                ],
+            )
 
         if snap.get("merge_mode", "cow") == "mor":
             # MOR is write-first: the changeset is written in ONE pass
@@ -1072,6 +1115,14 @@ class LakehouseTable:
           MOR for changelog consumers, same trade as Iceberg COW);
         - overwrite: every written row, as inserts;
         - create/ddl/compact/rollback/rebucket: no logical row changes.
+
+        Scale note: the path-based diff builds `prev_files` (every file path
+        at/below `from_snapshot_id`) on the driver — O(retained files) set
+        entries per call, bounded by `expire_snapshots` retention exactly
+        like Iceberg's own incremental-scan planning (which also walks
+        manifests driver-side). Keep retention windows sane (dozens of
+        snapshots, not thousands) and this is a few MB of strings; it never
+        reads data files.
         """
         chain = self.history()
         ids = [s["snapshot_id"] for s in chain]
@@ -1171,22 +1222,49 @@ class LakehouseTable:
           qualifies — or use ``tail_changes``.
         - no per-snapshot attribution (``_snapshot_id``/``_batch_id``):
           the stream sees files, not commits.
-        - column names are read under the CURRENT schema; delta files
-          written before a rename surface those columns as null in the
-          stream (the batch changelog re-projects by field id). Tail from
-          a fresh checkpoint after a rename, or consume via tail_changes.
+        - FIELD-ID-CORRECT ACROSS RENAMES: each delta file lives under its
+          writing snapshot's ``data/s<N>/`` dir, and snapshot N records the
+          schema_id it wrote with — so the stream reads a UNION of every
+          retained schema version's column names and re-projects per file
+          (CASE over the snapshot id parsed from ``_metadata.file_path``)
+          to the current names, matching the batch changelog's field-id
+          projection. Bounds: the name map covers snapshots retained at
+          STREAM CONSTRUCTION (files from already-expired snapshots fall
+          back to current-name reads, bounded by ``expire_snapshots``), and
+          like any Structured Streaming source the output schema is fixed —
+          a rename committed AFTER the stream starts still needs a restart
+          to surface under its new name.
         - MOR tables only (COW merges produce no delta files), like
           read_changes."""
         snap = self.current_snapshot()
         partial = self.update_mode(snap) == "partial"
-        fields = self._load_schema(snap["schema_id"])["fields"]
+        cur_fields = self._load_schema(snap["schema_id"])["fields"]
+
+        # snapshot id -> schema version that wrote its delta files
+        # (merge writes data/s<N> with the schema current at commit N)
+        chain = self.history()
+        sid_schema = {s["snapshot_id"]: s["schema_id"] for s in chain}
+        schemas = {
+            sch_id: self._load_schema(sch_id) for sch_id in set(sid_schema.values())
+        }
+        # union read-schema: every name each CURRENT field carried across
+        # retained versions (newest first so the current name/type wins a
+        # historical name collision, e.g. rename a->b then re-add a)
+        union: dict[str, str] = {f["name"]: f["type"] for f in cur_fields}
+        for sch_id in sorted(schemas, reverse=True):
+            by_id = {f["id"]: f for f in schemas[sch_id]["fields"]}
+            for f in cur_fields:
+                w = by_id.get(f["id"])
+                if w is not None and w["name"] not in union:
+                    union[w["name"]] = f["type"]  # read at the current (widest) type
+
         struct = T.StructType(
             [
                 T.StructField(LSN_COL, T.LongType(), True),
                 T.StructField(OP_COL, T.StringType(), True),
             ]
             + ([T.StructField(MASK_COL, T.LongType(), True)] if partial else [])
-            + [T.StructField(f["name"], _spark_type(f["type"]), True) for f in fields]
+            + [T.StructField(n, _spark_type(t), True) for n, t in union.items()]
         )
         # recursiveFileLookup turns partition inference OFF (the s<N>
         # snapshot level under data/ is not key=value and would otherwise
@@ -1198,10 +1276,36 @@ class LakehouseTable:
             .option("recursiveFileLookup", "true")
             .parquet(os.path.join(self.path, "data", "*", "_bucket=*", "_del=*"))
         )
+        snap_sid = (
+            F.regexp_extract(F.col("_metadata.file_path"), r"/data/s(\d+)/", 1)
+            .cast("long")
+        )
+
+        def field_expr(f: dict) -> F.Column:
+            """Per-file projection: the name this field was WRITTEN under,
+            keyed by the file's snapshot dir; default = current name (covers
+            snapshots committed after stream construction)."""
+            cur_type = _spark_type(f["type"])
+            by_name: dict[str | None, list[int]] = {}
+            for sid, sch_id in sid_schema.items():
+                w = {x["id"]: x for x in schemas[sch_id]["fields"]}.get(f["id"])
+                by_name.setdefault(w["name"] if w else None, []).append(sid)
+            expr = F.col(f["name"]).cast(cur_type)
+            for nm, sids in by_name.items():
+                if nm == f["name"]:
+                    continue  # same as the default branch
+                src = (
+                    F.lit(None).cast(cur_type)  # field didn't exist yet
+                    if nm is None
+                    else F.col(nm).cast(cur_type)
+                )
+                expr = F.when(snap_sid.isin(sids), src).otherwise(expr)
+            return expr.alias(f["name"])
+
         return raw.select(
             F.col(OP_COL).alias("_change_op"),
             F.col(LSN_COL).alias("lsn"),
-            *[F.col(f["name"]) for f in fields],
+            *[field_expr(f) for f in cur_fields],
             *([F.col(MASK_COL)] if partial else []),
             F.regexp_extract(F.col("_metadata.file_path"), r"_bucket=(\d+)", 1)
             .cast("int")

@@ -56,6 +56,68 @@ def test_stream_changes_matches_batch_changelog(spark, tmp_path):
     assert (s["_change_op"] == "D").any()  # tombstones flow too
 
 
+def test_stream_changes_rename_projects_by_field_id(spark, tmp_path):
+    """VERDICT r2 #4: delta files written BEFORE a rename_column must surface
+    their values under the CURRENT name in a fresh-checkpoint tail — equal to
+    the batch changelog's field-id projection, not null."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    tbl_path = str(tmp_path / "t")
+    LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=4, compact_every=10**9)
+    job = IngestJob(tbl_path, str(tmp_path / "ctl"))
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, op string, ts timestamp, conv_id string, turn_idx int, payload string",
+        )
+
+    # batch 0: rows under the ORIGINAL column name `tool`
+    job.apply_batch(spark, 0, batch([
+        (1, "I", None, "c1", 0, json.dumps({"role": "user", "text": "a", "tool": "grep"})),
+        (2, "I", None, "c2", 0, json.dumps({"role": "user", "text": "b", "tool": "sed"})),
+    ]))
+    # batch 1: rename tool -> tool_name, then more rows under the new name
+    job.apply_batch(spark, 1, batch([
+        (3, "DDL", None, None, None,
+         json.dumps({"action": "rename_column", "old": "tool", "new": "tool_name"})),
+        (4, "I", None, "c3", 0, json.dumps({"role": "user", "text": "c", "tool_name": "awk"})),
+        (5, "U", None, "c1", 0, json.dumps({"text": "a2", "tool_name": "rg"})),
+    ]))
+    tbl = LakehouseTable(tbl_path)
+
+    streamed = _drain(tbl.stream_changes(spark), tmp_path, "ren")
+    batch_log = tbl.read_changes(spark, 0).toPandas()
+
+    cols = ["lsn", "_change_op", "conv_id", "turn_idx", "text", "tool_name"]
+    s = streamed[cols].sort_values("lsn").reset_index(drop=True)
+    b = batch_log[cols].sort_values("lsn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, b)
+    # pre-rename values actually flow under the new name (the r2 gap: null)
+    assert s.set_index("lsn").loc[1, "tool_name"] == "grep"
+    assert s.set_index("lsn").loc[2, "tool_name"] == "sed"
+    assert s.set_index("lsn").loc[4, "tool_name"] == "awk"
+
+    # a historical-name COLLISION: re-add a fresh column named `tool`;
+    # old files' `tool` values must keep flowing to tool_name (field id),
+    # while the new `tool` column reads null for rows that never set it
+    job.apply_batch(spark, 2, batch([
+        (6, "DDL", None, None, None,
+         json.dumps({"action": "add_column", "name": "tool", "type": "string"})),
+        (7, "I", None, "c4", 0,
+         json.dumps({"role": "user", "text": "d", "tool": "NEW", "tool_name": "cut"})),
+    ]))
+    streamed2 = _drain(tbl.stream_changes(spark), tmp_path, "ren2")
+    s2 = streamed2.sort_values("lsn").set_index("lsn")
+    assert s2.loc[1, "tool_name"] == "grep" and pd.isna(s2.loc[1, "tool"])
+    assert s2.loc[7, "tool_name"] == "cut" and s2.loc[7, "tool"] == "NEW"
+    b2 = tbl.read_changes(spark, 0).toPandas().sort_values("lsn").set_index("lsn")
+    cols2 = ["_change_op", "conv_id", "turn_idx", "text", "tool_name", "tool"]
+    pd.testing.assert_frame_equal(s2[cols2], b2[cols2])
+
+
 def test_stream_changes_compaction_emits_nothing_new(spark, tmp_path):
     """Compaction folds deltas into base files (no _del= dirs) — a stream
     that has already consumed the deltas sees NOTHING new from compaction;
