@@ -630,9 +630,24 @@ class LakehouseTable:
         with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
             return list(ex.map(one, entries))
 
-    def overwrite(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None) -> dict:
+    def overwrite(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        batch_id: int | None = None,
+        watermark_lsn: int | None = None,
+    ) -> dict:
         """Full snapshot load (the initsync path — reference:
-        data_pipeline/initsync_pipe.py; SURVEY.md §2 S3/K4)."""
+        data_pipeline/initsync_pipe.py; SURVEY.md §2 S3/K4).
+
+        watermark_lsn: the source-consistent point this snapshot was captured
+        at (reference: initsync records the SCN/LSN the select ran under, and
+        CDC starts from there). Setting it makes the subsequent streaming
+        ingest SKIP feed events at/below it instead of re-applying the whole
+        prefix over the snapshot — the initsync→CDC switchover. Omitted, the
+        previous snapshot's watermark carries forward (LWW makes prefix
+        replay harmless but wasteful, provided the snapshot rows carry their
+        true LSNs)."""
         snap = self.current_snapshot()
         if LSN_COL not in df.columns:
             df = df.withColumn(LSN_COL, F.lit(0).cast("long"))
@@ -645,6 +660,11 @@ class LakehouseTable:
             "parent": snap["snapshot_id"],
             "kind": "overwrite",
             "batch_id": batch_id,
+            **(
+                {"watermark_lsn": max(snap.get("watermark_lsn") or 0, watermark_lsn)}
+                if watermark_lsn is not None
+                else {}
+            ),
             "last_batch_id": max(snap["last_batch_id"], batch_id if batch_id is not None else -1),
             "delta_commits": 0,
             "manifests": [self._write_manifest(new_id, entries)] if entries else [],

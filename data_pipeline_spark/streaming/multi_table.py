@@ -194,7 +194,11 @@ class MultiTableIngestJob:
 
     # ---------------------------------------------------- parallel initsync
     def initsync_all(
-        self, spark: SparkSession, sources: dict[str, DataFrame], verify: bool = True
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame],
+        verify: bool = True,
+        watermark_lsns: dict[str, int] | None = None,
     ) -> dict[str, dict]:
         """Initial full-table sync of MANY tables at once (reference:
         initsync_pipe.py's per-table multiprocessing pool — SURVEY.md §2
@@ -204,7 +208,11 @@ class MultiTableIngestJob:
         idiomatic Spark translation of per-table worker processes — the
         cluster, not the driver, is the unit of parallelism). Per table:
         overwrite snapshot commit, then the row-count + symmetric-difference
-        verification (T10). Returns {table: verify report | {"ok": True}}."""
+        verification (T10). Returns {table: verify report | {"ok": True}}.
+
+        watermark_lsns: per-table source-consistent capture points — the
+        initsync→CDC switchover (see LakehouseTable.overwrite): subsequent
+        streaming skips feed events at/below each table's mark."""
         from concurrent.futures import ThreadPoolExecutor
 
         def one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
@@ -212,7 +220,9 @@ class MultiTableIngestJob:
             if name not in self.jobs:
                 raise KeyError(f"table {name!r} is not registered/active")
             tbl = self.jobs[name].table
-            tbl.overwrite(spark, df)
+            tbl.overwrite(
+                spark, df, watermark_lsn=(watermark_lsns or {}).get(name)
+            )
             report = tbl.verify_against(spark, df) if verify else {"ok": True}
             return name, report
 
