@@ -521,15 +521,31 @@ def decode_events_sql(
         parse_fields.append(T.StructField(f.name, typ, True))
         for old in renames.get(f.name, []):
             parse_fields.append(T.StructField(old, T.StringType(), True))
-    if with_validity:
-        parse_fields.append(T.StructField("_corrupt", T.StringType(), True))
+    # _corrupt is parsed unconditionally: validity mode quarantines on it,
+    # abort mode raises on it (strictness parity with the Arrow/pandas
+    # kernels, which raise on malformed payloads when with_validity=False —
+    # PERMISSIVE from_json would otherwise silently null the row out)
+    parse_fields.append(T.StructField("_corrupt", T.StringType(), True))
     parsed = F.from_json(
         F.col("payload"),
         T.StructType(parse_fields),
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
     )
 
-    cols = [F.col("lsn"), F.col("op"), F.col("conv_id")]
+    malformed = F.col("payload").isNotNull() & (
+        F.col("j").isNull() | F.col("j._corrupt").isNotNull()
+    )
+    lsn_col = F.col("lsn")
+    if not with_validity:
+        # abort mode: fail the task (→ batch → stream abort-alert) on the
+        # first malformed payload, like the Arrow/pandas kernels do
+        lsn_col = F.when(
+            malformed,
+            F.raise_error(
+                F.concat(F.lit("malformed payload in abort mode: "), F.col("payload"))
+            ).cast("long"),
+        ).otherwise(F.col("lsn"))
+    cols = [lsn_col.alias("lsn"), F.col("op"), F.col("conv_id")]
     key_type = dict((f.name, f.dataType) for f in table_schema.fields)
     cols.append(F.col("turn_idx").cast(key_type["turn_idx"]).alias("turn_idx"))
     for f in table_schema.fields:
@@ -558,11 +574,7 @@ def decode_events_sql(
         cols.append(mask.alias("_set_mask"))
     if with_validity:
         err = (
-            F.when(
-                F.col("payload").isNotNull()
-                & (F.col("j").isNull() | F.col("j._corrupt").isNotNull()),
-                F.lit("malformed payload"),
-            )
+            F.when(malformed, F.lit("malformed payload"))
             .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), F.lit("missing merge key"))
             .when(F.col("op").isin("I", "U") & F.col("payload").isNull(), F.lit("missing payload for I/U"))
         )

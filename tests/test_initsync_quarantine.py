@@ -65,13 +65,17 @@ def test_quarantine_bad_payloads(spark, tmp_path, decoder):
     assert actual["text"].tolist() == expected["text"].tolist()
 
 
-def test_abort_mode_fails_batch(spark, tmp_path):
+@pytest.mark.parametrize("decoder", ["pandas", "sql"])
+def test_abort_mode_fails_batch(spark, tmp_path, decoder):
+    """Strictness parity (r3): BOTH decoders must fail the batch on a
+    malformed payload in abort mode — the SQL decoder's PERMISSIVE
+    from_json previously nulled the row out silently."""
     spec = FeedSpec(n_events=500, n_convs=20, seed=42)
     feed = generate_feed_pandas(spec)
     feed.loc[feed.index[feed["op"] == "I"][:1], "payload"] = "not json at all"
     tbl_path = str(tmp_path / "t")
     LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=8)
-    job = IngestJob(tbl_path, str(tmp_path / "ctl"))  # default abort
+    job = IngestJob(tbl_path, str(tmp_path / "ctl"), decoder=decoder)  # default abort
     with pytest.raises(Exception):
         job.apply_batch(spark, 0, spark.createDataFrame(feed, schema=CHANGE_EVENT_SCHEMA))
     # nothing was committed — the table is still at the create snapshot
