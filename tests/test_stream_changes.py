@@ -118,6 +118,46 @@ def test_stream_changes_rename_projects_by_field_id(spark, tmp_path):
     pd.testing.assert_frame_equal(s2[cols2], b2[cols2])
 
 
+def test_stream_changes_across_widen(spark, tmp_path):
+    """Delta files written before a widen_type store the narrow physical
+    type (int32 turn_idx); the stream declares the current (widened) type —
+    Spark 4's parquet type-widening read must surface them correctly, equal
+    to the batch changelog."""
+    import json
+
+    tbl_path = str(tmp_path / "t")
+    LakehouseTable(tbl_path).create(TRANSCRIPT_SCHEMA, n_buckets=4, compact_every=10**9)
+    job = IngestJob(tbl_path, str(tmp_path / "ctl"))
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, op string, ts timestamp, conv_id string, turn_idx int, payload string",
+        )
+
+    job.apply_batch(spark, 0, batch([
+        (1, "I", None, "c1", 7, json.dumps({"role": "user", "text": "narrow"})),
+    ]))
+    # post-widen events arrive with a 64-bit key in the envelope
+    wide = spark.createDataFrame(
+        [
+            (2, "DDL", None, None, None,
+             json.dumps({"action": "widen_type", "name": "turn_idx", "to": "long"})),
+            (3, "I", None, "c2", 2**31 + 5, json.dumps({"role": "user", "text": "wide"})),
+        ],
+        "lsn long, op string, ts timestamp, conv_id string, turn_idx long, payload string",
+    )
+    job.apply_batch(spark, 1, wide)
+    tbl = LakehouseTable(tbl_path)
+    streamed = _drain(tbl.stream_changes(spark), tmp_path, "widen")
+    s = streamed.sort_values("lsn").set_index("lsn")
+    assert int(s.loc[1, "turn_idx"]) == 7          # narrow file, widened read
+    assert int(s.loc[3, "turn_idx"]) == 2**31 + 5  # value needing the widen
+    b = tbl.read_changes(spark, 0).toPandas().sort_values("lsn").set_index("lsn")
+    cols = ["_change_op", "conv_id", "turn_idx", "text"]
+    pd.testing.assert_frame_equal(s[cols], b[cols])
+
+
 def test_stream_changes_compaction_emits_nothing_new(spark, tmp_path):
     """Compaction folds deltas into base files (no _del= dirs) — a stream
     that has already consumed the deltas sees NOTHING new from compaction;
