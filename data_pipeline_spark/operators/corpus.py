@@ -1,0 +1,158 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+These extend the engine's training-data surface (SURVEY.md §2, LLM-ops
+table) with the assembly-side operations a pretraining pipeline runs AFTER
+dedup/quality filtering: deterministic sampling, source re-weighting,
+PII redaction, and token-budget sequence packing. All Catalyst built-ins —
+no Python UDFs anywhere — and every operator is deterministic (md5-based
+uniforms, never engine-private hashes), so each one is DuckDB-oracle-checked
+in tests/test_corpus_ops.py over the same parquet.
+
+100-TB design notes per operator are in the docstrings; the common thread:
+everything is row-local or shard-local (no global coordination), so the
+plans scale embarrassingly — the only shuffle anywhere is sequence packing's
+per-shard window sort, bounded by shard size, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Deterministic uniform(0,1) per row: the first 8 hex digits of md5 over a
+#: salted key. Identical in DuckDB (same md5, same slice), unlike xxhash64 /
+#: rand() — this is what makes sampling decisions oracle-checkable AND
+#: reproducible across engines (the property a training-data pipeline needs
+#: so a re-run selects the SAME corpus).
+def _hash_frac(col, salt: str):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / float(0xFFFFFFFF)
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates: dict[str, float], key_col: str,
+    default_rate: float = 0.0, salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash-uniform
+    < the stratum's rate (e.g. keep 100% of 'books', 10% of 'web'). Row-local
+    predicate — ZERO shuffles, pushes into the scan; at 100 TB this is a
+    filter, not a job. Unknown strata fall to default_rate."""
+    rate = F.lit(default_rate)
+    for name, r in rates.items():
+        rate = F.when(F.col(strata_col) == name, F.lit(float(r))).otherwise(rate)
+    return df.where(_hash_frac(F.col(key_col), salt) < rate)
+
+
+def upsample_by_weight(
+    df: DataFrame, weight_col_map: dict[str, float], strata_col: str, key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixing: repeat each row per its source's mixing weight
+    (epochs-per-source, e.g. wiki×2.5 = always 2 copies + a deterministic
+    50% chance of a 3rd). repeat = floor(w) + (hash_frac < frac(w)); emitted
+    via explode(sequence(...)) with the copy index as `epoch` (so downstream
+    shuffles de-collocate the copies). Row-multiplying but row-LOCAL — no
+    shuffle; output size = Σ weights × rows, known up front."""
+    w = F.lit(0.0)
+    for name, wt in weight_col_map.items():
+        w = F.when(F.col(strata_col) == name, F.lit(float(wt))).otherwise(w)
+    n = F.floor(w).cast("long") + (
+        _hash_frac(F.col(key_col), salt) < (w - F.floor(w))
+    ).cast("long")
+    return (
+        df.withColumn("_n", n)
+        .where(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+#: Redaction patterns: a shared-regex-dialect subset (no lookaround, no \b
+#: differences) so the same pattern strings run in Spark (Java regex) and
+#: DuckDB (RE2) — tested equal. Order matters: emails before phones so the
+#: digits inside an already-redacted token don't re-match.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone-ish numbers / IPv4s from a text column
+    (chained regexp_replace — whole-stage codegen, row-local, no shuffle).
+    The pattern list is the policy surface; a real deployment extends it.
+    Adds `_redactions` = count of replacements (cheap: length delta signal
+    is not reliable, so we count matches before replacing)."""
+    out = F.col(text_col)
+    n = F.lit(0)
+    for pat, token in PII_PATTERNS:
+        n = n + F.coalesce(
+            F.cardinality(F.regexp_extract_all(out, F.lit(pat), F.lit(0))), F.lit(0)
+        )
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn("_redactions", n.cast("int")).withColumn(text_col, out)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    doc_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Token-budget sequence packing, pretraining style: documents are
+    concatenated in a deterministic order and the stream is cut every
+    `budget` tokens; a document may SPAN sequences (GPT-style pack-then-
+    chunk). Emits one row per (document × sequence it touches):
+
+        (shard, seq_id, doc_id, seq_offset, doc_offset, len)
+
+    i.e. "tokens [doc_offset, doc_offset+len) of doc_id land in seq_id at
+    seq_offset" — exactly the slice table a tokenizer-side packer consumes.
+
+    Scale shape: packing order is (shard, doc_id) where shard =
+    md5-bucket(doc_id) — each shard packs INDEPENDENTLY, so the only
+    shuffle is one window sort per shard (bounded by corpus/n_shards, never
+    by the corpus; raise n_shards with the corpus). A global single-order
+    pack would serialize 100 TB through one partition — deliberately not
+    offered. The emit is a row-multiplying explode over the spanned
+    sequence ids; no UDFs, no state."""
+    w = Window.partitionBy("_shard").orderBy(doc_col)
+    start = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    end = start + F.col(token_col).cast("long")  # exclusive
+    d = (
+        docs.withColumn("_shard", F.abs(F.conv(
+            F.substring(F.md5(F.col(doc_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")) % n_shards)
+        .where(F.col(token_col) > 0)
+        .withColumn("_start", start)
+        .withColumn("_end", end)
+        # sequence bounds from the MATERIALIZED columns (window exprs can't
+        # live inside the explode's projection); last token is at _end-1
+        .withColumn(
+            "seq_id",
+            F.explode(F.sequence(
+                (F.col("_start") / budget).cast("long"),
+                ((F.col("_end") - 1) / budget).cast("long"),
+            )),
+        )
+    )
+    seq_lo = F.col("seq_id") * budget
+    seq_hi = seq_lo + budget
+    piece_lo = F.greatest(F.col("_start"), seq_lo)
+    piece_hi = F.least(F.col("_end"), seq_hi)
+    return d.select(
+        F.col("_shard").alias("shard"),
+        "seq_id",
+        F.col(doc_col),
+        (piece_lo - seq_lo).cast("int").alias("seq_offset"),
+        (piece_lo - F.col("_start")).cast("int").alias("doc_offset"),
+        (piece_hi - piece_lo).cast("int").alias("len"),
+    )

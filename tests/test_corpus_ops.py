@@ -1,0 +1,217 @@
+"""Corpus-assembly operators (operators/corpus.py) vs DuckDB oracles on the
+driver testdata — same rigor as the registry queries (the 50-entry driver
+window is full, so these verify at the pytest level instead):
+
+- stratified_sample / upsample_by_weight: md5-fraction decisions recomputed
+  in DuckDB (same md5, same hex slice) — exact row/multiset equality.
+- redact_pii: Spark (Java regex) vs DuckDB (RE2) on the shared-dialect
+  patterns — redacted text and match counts equal.
+- pack_sequences: the slice table vs a DuckDB window-cumsum + LATERAL-range
+  reconstruction, plus the packing invariants (every sequence except each
+  shard's last is exactly `budget` tokens; every doc fully covered, in
+  order, split across contiguous sequences).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_pipeline_spark.operators.corpus import (
+    PII_PATTERNS,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+    upsample_by_weight,
+)
+
+SF = "/root/testdata/sf0.01"
+FRAC = "(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))::UBIGINT / 4294967295.0)"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_stratified_sample_matches_duckdb(spark, duck):
+    rates = {"src0": 1.0, "src1": 0.25, "src2": 0.0}
+    got = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            _docs(spark), "source", rates, key_col="doc_id", default_rate=0.1
+        ).select("doc_id").collect()
+    )
+    frac = FRAC.format(salt="strat", key="doc_id")
+    want = duck.execute(
+        f"""
+        SELECT doc_id FROM documents
+        WHERE {frac} < CASE source
+            WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 0.0
+            ELSE 0.1 END
+        ORDER BY doc_id
+        """
+    ).df()["doc_id"].tolist()
+    assert got == want
+    assert 0 < len(got) < 500  # genuinely selective
+
+
+def test_stratified_sample_is_deterministic(spark):
+    a = stratified_sample(_docs(spark), "source", {"src1": 0.5}, "doc_id")
+    b = stratified_sample(_docs(spark), "source", {"src1": 0.5}, "doc_id")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+
+
+def test_upsample_by_weight_matches_duckdb(spark, duck):
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.3}
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in upsample_by_weight(_docs(spark), weights, "source", "doc_id")
+        .select("doc_id", "epoch").collect()
+    )
+    frac = FRAC.format(salt="mix", key="doc_id")
+    want = duck.execute(
+        f"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                             WHEN 'src2' THEN 0.3 ELSE 0.0 END AS wt,
+                 {frac} AS u
+          FROM documents
+        ), n AS (
+          SELECT doc_id,
+                 CAST(floor(wt) AS BIGINT)
+                 + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS reps
+          FROM w
+        )
+        SELECT n.doc_id, CAST(e.epoch AS BIGINT) AS epoch
+        FROM n, LATERAL (SELECT unnest(range(1, reps + 1)) AS epoch) e
+        WHERE reps > 0
+        ORDER BY doc_id, epoch
+        """
+    ).df()
+    assert got == list(map(tuple, want.itertuples(index=False)))
+    # src0 docs appear 2 or 3 times; src1 exactly once
+    counts = pd.Series([d for d, _ in got]).value_counts()
+    docs = _docs(spark).select("doc_id", "source").toPandas().set_index("doc_id")
+    for doc_id, c in counts.items():
+        src = docs.loc[doc_id, "source"]
+        if src == "src0":
+            assert c in (2, 3)
+        elif src == "src1":
+            assert c == 1
+
+
+def test_redact_pii_matches_duckdb(spark, duck):
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +1 (415) 555-0199 now"),
+        (2, "server at 10.0.12.7 responded; backup 192.168.1.254."),
+        (3, "no pii here, just text with numbers 42 and x@y (not an email)"),
+        (4, "two mails a@b.io c@d.org and a phone 020 7946 0958"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = redact_pii(df).orderBy("doc_id").toPandas()
+
+    expr = "text"
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all({e}, '{p}'))"
+        for p, e in [
+            (PII_PATTERNS[0][0], "text"),
+            (PII_PATTERNS[1][0],
+             f"regexp_replace(text, '{PII_PATTERNS[0][0]}', '<EMAIL>', 'g')"),
+            (PII_PATTERNS[2][0],
+             f"regexp_replace(regexp_replace(text, '{PII_PATTERNS[0][0]}', '<EMAIL>', 'g'), '{PII_PATTERNS[1][0]}', '<PHONE>', 'g')"),
+        ]
+    )
+    duck.register("pii_rows", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.execute(
+        f"SELECT doc_id, {expr} AS text, {counts} AS n FROM pii_rows ORDER BY doc_id"
+    ).df()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["_redactions"].tolist() == want["n"].astype(int).tolist()
+    assert "<EMAIL>" in got.loc[0, "text"] and "<PHONE>" in got.loc[0, "text"]
+    assert got.loc[2, "text"] == rows[2][1] and got.loc[2, "_redactions"] == 0
+
+
+BUDGET = 512
+
+
+def _packed(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, BUDGET, n_shards=8)
+
+
+def test_pack_sequences_matches_duckdb(spark, duck):
+    got = (
+        _packed(spark).orderBy("shard", "seq_id", "doc_id").toPandas()
+    )
+    want = duck.execute(
+        f"""
+        WITH d AS (
+          SELECT doc_id, length(text)::BIGINT AS n,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS shard
+          FROM documents WHERE length(text) > 0
+        ), c AS (
+          SELECT *,
+                 COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+                 COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n AS e
+          FROM d
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, CAST(q.seq_id AS BIGINT) AS seq_id,
+               doc_id,
+               CAST(GREATEST(s, q.seq_id * {BUDGET}) - q.seq_id * {BUDGET} AS INT) AS seq_offset,
+               CAST(GREATEST(s, q.seq_id * {BUDGET}) - s AS INT) AS doc_offset,
+               CAST(LEAST(e, (q.seq_id + 1) * {BUDGET}) - GREATEST(s, q.seq_id * {BUDGET}) AS INT) AS len
+        FROM c, LATERAL (
+          SELECT unnest(range(CAST(s // {BUDGET} AS BIGINT),
+                              CAST((e - 1) // {BUDGET} + 1 AS BIGINT))) AS seq_id
+        ) q
+        ORDER BY shard, seq_id, doc_id
+        """
+    ).df()
+    for col in ("shard", "seq_id", "doc_id", "seq_offset", "doc_offset", "len"):
+        assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
+
+
+def test_pack_sequences_invariants(spark):
+    got = _packed(spark).toPandas()
+    docs = (
+        _docs(spark).toPandas().assign(n=lambda d: d["text"].str.len())
+        .set_index("doc_id")["n"]
+    )
+    # every doc fully covered, in order, no gaps
+    for doc_id, g in got.groupby("doc_id"):
+        g = g.sort_values("doc_offset")
+        assert g["len"].sum() == docs.loc[doc_id]
+        assert g["doc_offset"].iloc[0] == 0
+        assert (g["doc_offset"] + g["len"]).iloc[:-1].tolist() == g["doc_offset"].iloc[1:].tolist()
+    # every sequence except each shard's LAST is exactly `budget` tokens
+    seq_tokens = got.groupby(["shard", "seq_id"])["len"].sum()
+    last = got.groupby("shard")["seq_id"].max()
+    for (shard, seq_id), tot in seq_tokens.items():
+        if seq_id != last.loc[shard]:
+            assert tot == BUDGET, (shard, seq_id, tot)
+        else:
+            assert 0 < tot <= BUDGET
+    # pieces tile each sequence contiguously from offset 0
+    for (_, _), g in got.groupby(["shard", "seq_id"]):
+        g = g.sort_values("seq_offset")
+        assert g["seq_offset"].iloc[0] == 0
+        assert (g["seq_offset"] + g["len"]).iloc[:-1].tolist() == g["seq_offset"].iloc[1:].tolist()
