@@ -1217,7 +1217,9 @@ class LakehouseTable:
             df = df.unionByName(p)
         return df
 
-    def stream_changes(self, spark: SparkSession) -> DataFrame:
+    def stream_changes(
+        self, spark: SparkSession, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
         """Streaming changelog tail (CDC-out as a live Structured Streaming
         source): a file-stream over the table's DELTA layer. Only MOR delta
         writes partition by ``_del``, so the glob
@@ -1291,11 +1293,13 @@ class LakehouseTable:
         # raise CONFLICTING_DIRECTORY_STRUCTURES); the glob still selects
         # only _del= dirs — i.e. only delta files — and the bucket id comes
         # back from the file path via the _metadata column.
-        raw = (
-            spark.readStream.schema(struct)
-            .option("recursiveFileLookup", "true")
-            .parquet(os.path.join(self.path, "data", "*", "_bucket=*", "_del=*"))
-        )
+        reader = spark.readStream.schema(struct).option("recursiveFileLookup", "true")
+        if max_files_per_trigger is not None:
+            # bound per-micro-batch work during catch-up: a consumer starting
+            # from a fresh checkpoint on a long-retained table would otherwise
+            # get the ENTIRE retained delta history as one batch
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        raw = reader.parquet(os.path.join(self.path, "data", "*", "_bucket=*", "_del=*"))
         snap_sid = (
             F.regexp_extract(F.col("_metadata.file_path"), r"/data/s(\d+)/", 1)
             .cast("long")

@@ -9,6 +9,7 @@ from data_pipeline_spark.sources.feed import (  # noqa: F401
     read_feed_stream,
 )
 from data_pipeline_spark.sources.kafka import (  # noqa: F401
+    changes_to_feed,
     decode_kafka_envelope,
     encode_kafka_envelope,
     read_kafka_feed_stream,

@@ -97,6 +97,50 @@ def encode_kafka_envelope(events: DataFrame) -> DataFrame:
     )
 
 
+def changes_to_feed(changes: DataFrame, key_cols: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
+    """Re-publish a table's changelog (``read_changes`` / ``stream_changes``
+    output) as a change-event FEED — the K1 producer's payload builder:
+    downstream tables ingest table A's changes exactly like a source feed
+    (A → changes → Kafka → B). op = the changelog's ``_change_op``; payload =
+    the row's non-key columns as JSON (to_json drops nulls — absent key ≡
+    null under full-image decode, so the round trip is lossless for LWW
+    apply). Engine columns (``_`` prefixed) and the key stay out of the
+    payload. Works on batch and streaming changelog frames.
+
+    Full-image changelogs only: a PARTIAL-mode table's delta rows can't be
+    re-published this way — to_json drops nulls, which erases the
+    set-to-null vs never-set distinction `_set_mask` encodes, so the
+    downstream full-image decode would resurrect stale columns. Raises
+    rather than silently corrupting."""
+    if "_set_mask" in changes.columns:
+        raise ValueError(
+            "changes_to_feed requires a full-image changelog; this one "
+            "carries _set_mask (partial-update table) — the mask's "
+            "set-to-null/unset distinction does not survive JSON re-encoding"
+        )
+    keys = set(key_cols)
+    payload_cols = [
+        c for c in changes.columns
+        if not c.startswith("_") and c != "lsn" and c not in keys
+    ]
+    return changes.select(
+        F.col("lsn"),
+        F.col("_change_op").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col(key_cols[0]),
+        F.col(key_cols[1]),
+        F.when(
+            F.col("_change_op") != "D",
+            F.to_json(
+                F.struct(*[F.col(c) for c in payload_cols]),
+                # the decode kernels parse payload timestamps with the
+                # second-precision wire format — match it here
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss"},
+            ),
+        ).alias("payload"),
+    )
+
+
 def read_kafka_feed_stream(
     spark: SparkSession,
     bootstrap_servers: str,
