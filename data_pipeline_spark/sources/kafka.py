@@ -97,7 +97,11 @@ def encode_kafka_envelope(events: DataFrame) -> DataFrame:
     )
 
 
-def changes_to_feed(changes: DataFrame, key_cols: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
+def changes_to_feed(
+    changes: DataFrame,
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    columns: list[str] | None = None,
+) -> DataFrame:
     """Re-publish a table's changelog (``read_changes`` / ``stream_changes``
     output) as a change-event FEED — the K1 producer's payload builder:
     downstream tables ingest table A's changes exactly like a source feed
@@ -111,7 +115,19 @@ def changes_to_feed(changes: DataFrame, key_cols: tuple[str, str] = ("conv_id", 
     re-published this way — to_json drops nulls, which erases the
     set-to-null vs never-set distinction `_set_mask` encodes, so the
     downstream full-image decode would resurrect stale columns. Raises
-    rather than silently corrupting."""
+    rather than silently corrupting.
+
+    columns: restrict payloads to this subset of non-key columns (projected
+    replica — the edge-level analog of the reference's column allowlist);
+    default = every non-key column."""
+    if columns is not None:
+        bad = set(columns) & set(key_cols)
+        missing = set(columns) - set(changes.columns)
+        if bad or missing:
+            raise ValueError(
+                f"changes_to_feed columns: keys not allowed {sorted(bad)}, "
+                f"not in changelog {sorted(missing)}"
+            )
     if "_set_mask" in changes.columns:
         raise ValueError(
             "changes_to_feed requires a full-image changelog; this one "
@@ -122,6 +138,7 @@ def changes_to_feed(changes: DataFrame, key_cols: tuple[str, str] = ("conv_id", 
     payload_cols = [
         c for c in changes.columns
         if not c.startswith("_") and c != "lsn" and c not in keys
+        and (columns is None or c in columns)
     ]
     return changes.select(
         F.col("lsn"),

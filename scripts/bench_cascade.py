@@ -2,6 +2,9 @@
 
 First hop: raw change feed → decode → collapse → merge into table A.
 Edge:      A's delta layer → changes_to_feed → same apply path → table B.
+Fan-out (--fanout N): N full replicas via N independent CascadeJob edges
+(N passes over A's delta layer) vs one CascadeFanout (one pass, shared
+cached batch, concurrent applies) — the read-amplification A/B.
 
 The edge never re-reads A — it moves only the collapsed per-commit
 changesets (strictly fewer rows than the raw feed, since upstream collapse
@@ -32,6 +35,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--chunks", type=int, default=64)
+    ap.add_argument(
+        "--fanout", type=int, default=0,
+        help="also A/B N independent edges vs one N-target CascadeFanout",
+    )
     ap.add_argument(
         "--workdir", default="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
@@ -105,6 +112,50 @@ def main() -> None:
             ).first()
             return row["n"], row["h"]
 
+        fanout_metrics = {}
+        if args.fanout:
+            from data_pipeline_spark.streaming.cascade import (
+                CascadeFanout,
+                CascadeTarget,
+            )
+
+            def mk_tables(prefix: str) -> list[str]:
+                paths = []
+                for i in range(args.fanout):
+                    p = os.path.join(root, f"{prefix}{i}")
+                    LakehouseTable(p).create(
+                        TRANSCRIPT_SCHEMA, n_buckets=args.n_buckets
+                    )
+                    paths.append(p)
+                return paths
+
+            indep = mk_tables("ind")
+            t0 = time.monotonic()
+            for i, p in enumerate(indep):
+                CascadeJob(a, p, os.path.join(root, f"ctl-ind{i}")).run_to_completion(
+                    spark, os.path.join(root, f"cp-ind{i}")
+                )
+            indep_sec = time.monotonic() - t0
+
+            shared = mk_tables("fan")
+            fan = CascadeFanout(
+                a,
+                [CascadeTarget(f"t{i}", p) for i, p in enumerate(shared)],
+                os.path.join(root, "ctl-fan"),
+            )
+            t0 = time.monotonic()
+            fan.run_to_completion(spark, os.path.join(root, "cp-fan"))
+            fanout_sec = time.monotonic() - t0
+
+            ok = all(digest(p) == digest(a) for p in (indep[0], *shared))
+            fanout_metrics = {
+                "fanout_targets": args.fanout,
+                "independent_edges_sec": round(indep_sec, 1),
+                "fanout_one_pass_sec": round(fanout_sec, 1),
+                "fanout_speedup": round(indep_sec / fanout_sec, 2),
+                "fanout_replicas_equal_a": bool(ok),
+            }
+
         (rows_a, hash_a), (rows_b, hash_b) = digest(a), digest(b)
         print(
             json.dumps(
@@ -119,6 +170,7 @@ def main() -> None:
                     "row_reduction": round(args.events / delta_rows, 2),
                     "rows": rows_a,
                     "b_equals_a": bool(rows_a == rows_b and hash_a == hash_b),
+                    **fanout_metrics,
                 }
             )
         )
