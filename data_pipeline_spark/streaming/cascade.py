@@ -34,9 +34,18 @@ DML only: schema changes do NOT flow through the changelog (the reference
 routes DDL on the bus; the in-lake delta files carry data rows only). Apply
 upstream DDL to the downstream table out-of-band (`apply_ddl` with the same
 descriptors) and restart the cascade — `stream_changes`' fixed output
-schema needs the restart anyway. `sync_schema()` does the descriptor-free
-equivalent: it verifies name/type alignment and raises on drift, so a
-cascade never silently nulls a renamed column.
+schema needs the restart anyway. `sync_schema()` verifies name/type
+alignment and raises on drift, so a cascade never silently nulls a renamed
+column; `sync_schema(auto_ddl=True)` goes further and DERIVES the
+downstream DDL from the upstream schema (renames resolved via
+`former_names` → field-id remap, never drop+add), making edge restart
+after upstream DDL a single healing call.
+
+Retention contract: delta files are the edge's transport — keep the
+upstream's `expire_snapshots` retention longer than the longest edge
+outage (the Kafka-retention rule). An edge down past retention must
+re-initsync its target; the folded-away changes are gone from the delta
+layer and a fresh checkpoint cannot see them.
 """
 
 from __future__ import annotations
@@ -90,30 +99,100 @@ def _replica_feed(
     return changes_to_feed(changes, columns=columns)
 
 
-def _assert_replica_schema(
-    upstream: LakehouseTable, downstream: LakehouseTable, columns: list[str] | None
-) -> None:
-    """Raise unless the downstream schema equals the upstream one (names and
-    types, in order; restricted to keys + `columns` for a projection)."""
+def _assert_mor_upstream(upstream: LakehouseTable) -> None:
+    """A COW upstream has no delta layer — its changelog stream would be
+    silently EMPTY (every merge rewrites base files). Refuse loudly."""
+    if upstream.current_snapshot().get("merge_mode") != "mor":
+        raise ValueError(
+            f"cascade upstream {upstream.path} is copy-on-write: COW merges "
+            "produce no delta files, so the changelog stream would be empty "
+            "— use merge_mode='mor' for tables with downstream consumers "
+            "(same trade as Iceberg CDC requiring MOR)"
+        )
+
+
+def _sync_replica_schema(
+    upstream: LakehouseTable,
+    downstream: LakehouseTable,
+    columns: list[str] | None,
+    auto_ddl: bool = False,
+) -> list[dict]:
+    """Verify the downstream schema equals the upstream one (names and
+    types, in order; restricted to keys + `columns` for a projection).
+
+    auto_ddl=True: instead of raising on drift, DERIVE the DDL descriptors
+    that bring the downstream in line and apply them — the edge-restart
+    healing step after upstream DDL. The diff is deterministic because
+    upstream columns carry their rename history (`former_names`): a
+    downstream column named X where upstream's column Y lists X among its
+    former names is a rename X→Y, never a drop+add — so downstream data
+    written under X correctly re-maps by field id instead of nulling out.
+    Type changes go through `widen_type` (the downstream table enforces the
+    same value-preserving lattice as any DDL consumer). Column DROPS are
+    replicated too. Returns the descriptors applied ([] when in sync).
+    Raises (auto_ddl=False) on any drift."""
     keys = {"conv_id", "turn_idx"}
-    up = [
-        (f["name"], f["type"])
+    up_fields = [
+        f
         for f in upstream._load_schema(upstream.current_snapshot()["schema_id"])[
             "fields"
         ]
         if columns is None or f["name"] in keys or f["name"] in columns
     ]
-    down = [
-        (f["name"], f["type"])
-        for f in downstream._load_schema(
-            downstream.current_snapshot()["schema_id"]
-        )["fields"]
-    ]
-    if up != down:
+    down_fields = downstream._load_schema(
+        downstream.current_snapshot()["schema_id"]
+    )["fields"]
+    up = [(f["name"], f["type"]) for f in up_fields]
+    down = [(f["name"], f["type"]) for f in down_fields]
+    if up == down:
+        return []
+    if not auto_ddl:
         raise ValueError(
-            "cascade schema drift (apply upstream DDL downstream, then "
-            f"restart the edge): upstream={up} downstream={down}"
+            "cascade schema drift (apply upstream DDL downstream — "
+            "sync_schema(auto_ddl=True) derives it — then restart the "
+            f"edge): upstream={up} downstream={down}"
         )
+    descriptors: list[dict] = []
+    down_names = {f["name"] for f in down_fields}
+    up_names = {f["name"] for f in up_fields}
+    # Upstream field order is resolution order: a renamed field keeps its
+    # position while a re-added column appends, so in the rename-then-re-add
+    # collision (x→y, then a NEW x) the renamed field claims downstream's x
+    # first and the re-add becomes a plain add_column — matching what the
+    # downstream would look like had it healed after every upstream DDL.
+    # Multi-generation rename chains skipped in ONE heal can be name-
+    # ambiguous (two upstream fields sharing a former name); first-match
+    # wins and the re-verify below catches any order mismatch — heal
+    # promptly rather than batching many DDL generations.
+    for f in up_fields:
+        if f["name"] in down_names:
+            continue
+        former = next((n for n in f["former_names"] if n in down_names), None)
+        if former is not None:
+            descriptors.append(
+                {"action": "rename_column", "old": former, "new": f["name"]}
+            )
+            down_names.discard(former)
+            down_names.add(f["name"])
+        else:
+            descriptors.append(
+                {"action": "add_column", "name": f["name"], "type": f["type"]}
+            )
+            down_names.add(f["name"])
+    for name in sorted(down_names - up_names):
+        descriptors.append({"action": "drop_column", "name": name})
+        down_names.discard(name)
+    down_types = {f["name"]: f["type"] for f in down_fields}
+    for f in up_fields:
+        if down_types.get(f["name"], f["type"]) != f["type"]:
+            descriptors.append(
+                {"action": "widen_type", "name": f["name"], "to": f["type"]}
+            )
+    downstream.apply_ddl(descriptors)
+    # re-verify: the derived DDL must land us exactly in sync (ordering of
+    # pre-existing columns can't be fixed by DDL — surface it, don't loop)
+    _sync_replica_schema(upstream, downstream, columns, auto_ddl=False)
+    return descriptors
 
 
 class CascadeJob:
@@ -145,13 +224,17 @@ class CascadeJob:
         ingest_kw.setdefault("ddl_fast_scan", False)
         self.job = IngestJob(downstream_path, control_path, **ingest_kw)
 
-    def sync_schema(self) -> None:
+    def sync_schema(self, auto_ddl: bool = False) -> list[dict]:
         """Assert the downstream schema matches the upstream one (names and
         types, in order; restricted to keys + `columns` for a projected
         replica). Cascades replicate DML only — run this at edge start and
-        after any upstream DDL (apply the same DDL descriptors downstream,
-        then restart the stream)."""
-        _assert_replica_schema(self.upstream, self.job.table, self.columns)
+        after any upstream DDL. auto_ddl=True derives and APPLIES the
+        missing downstream DDL (rename-aware via upstream `former_names`,
+        widen-lattice-checked) instead of raising — the edge-restart
+        healing step; returns the descriptors applied."""
+        return _sync_replica_schema(
+            self.upstream, self.job.table, self.columns, auto_ddl=auto_ddl
+        )
 
     # ------------------------------------------------------------- streaming
     def start(
@@ -167,6 +250,7 @@ class CascadeJob:
         max_files_per_trigger bounds catch-up micro-batches (a fresh
         checkpoint otherwise sees the whole retained delta history at
         once)."""
+        _assert_mor_upstream(self.upstream)
         self.sync_schema()
         applied = {"n": 0}
 
@@ -202,6 +286,17 @@ class CascadeJob:
     def run_to_completion(self, spark: SparkSession, checkpoint_dir: str) -> None:
         q = self.start(spark, checkpoint_dir, available_now=True)
         q.awaitTermination()
+
+    def lag(self) -> dict:
+        """Replication lag in LSNs — the edge's health metric (reference
+        analog: the audit table's source-vs-target recovery points). Both
+        sides are driver-side metadata reads (snapshot json), no data I/O:
+        upstream watermark = highest LSN committed to A; downstream
+        watermark = highest LSN the edge has applied to B. lag_lsns == 0
+        means the replica is caught up to every committed upstream batch."""
+        up = self.upstream.current_snapshot().get("watermark_lsn") or 0
+        down = self.job.table.current_snapshot().get("watermark_lsn") or 0
+        return {"upstream_lsn": up, "downstream_lsn": down, "lag_lsns": up - down}
 
 
 @dataclass
@@ -253,9 +348,13 @@ class CascadeFanout:
             for t in targets
         }
 
-    def sync_schema(self) -> None:
-        for t in self.targets:
-            _assert_replica_schema(self.upstream, self.jobs[t.name].table, t.columns)
+    def sync_schema(self, auto_ddl: bool = False) -> dict[str, list[dict]]:
+        return {
+            t.name: _sync_replica_schema(
+                self.upstream, self.jobs[t.name].table, t.columns, auto_ddl=auto_ddl
+            )
+            for t in self.targets
+        }
 
     def start(
         self,
@@ -265,6 +364,7 @@ class CascadeFanout:
         max_files_per_trigger: int | None = None,
         fail_after_batches: int | None = None,  # test hook: simulate a crash
     ):
+        _assert_mor_upstream(self.upstream)
         self.sync_schema()
         applied = {"n": 0}
 
