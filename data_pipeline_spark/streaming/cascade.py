@@ -410,3 +410,19 @@ class CascadeFanout:
     def run_to_completion(self, spark: SparkSession, checkpoint_dir: str) -> None:
         q = self.start(spark, checkpoint_dir, available_now=True)
         q.awaitTermination()
+
+    def lag(self) -> dict[str, dict]:
+        """Per-target replication lag in LSNs (see CascadeJob.lag). Caveat
+        for filtered replicas: a target's watermark advances only when a
+        batch delivers it at least one row, so a predicate that filters a
+        whole batch away shows transient lag that the next matching row
+        clears — treat lag as "behind by <= N LSNs", exact for full
+        replicas."""
+        up = self.upstream.current_snapshot().get("watermark_lsn") or 0
+        out = {}
+        for t in self.targets:
+            down = self.jobs[t.name].table.current_snapshot().get("watermark_lsn") or 0
+            out[t.name] = {
+                "upstream_lsn": up, "downstream_lsn": down, "lag_lsns": up - down,
+            }
+        return out
