@@ -16,7 +16,10 @@ per-shard window sort, bounded by shard size, never by corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Deterministic uniform(0,1) per row: the first 8 hex digits of md5 over a
@@ -95,6 +98,104 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         out = F.regexp_replace(out, pat, token)
     return df.withColumn("_redactions", n.cast("int")).withColumn(text_col, out)
+
+
+def assemble_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Turns → training documents: one row per conversation, turns ordered
+    by `idx_col` and rendered "role: text" joined by `sep`. The bridge from
+    the CDC-replicated transcript table to the corpus operators above —
+    dedup/quality/sampling/packing all consume documents, the lakehouse
+    stores turns.
+
+    Output: (conv_id, doc_text, n_turns, n_chars). Null role or text drops
+    that part, not the line (concat_ws semantics, identical in DuckDB's
+    string_agg oracle).
+
+    Scale shape: one shuffle (the groupBy), and collect_list partial-
+    aggregates map-side (ObjectHashAggregate), so the reduce side moves one
+    packed struct array per conversation — bounded by the longest single
+    conversation, never by the corpus. No window over the whole table, no
+    UDFs. At 100 TB the plan is scan → partial agg → exchange(conv_id) →
+    final agg, and if the table is bucketed by conv_id (the engine default)
+    the exchange disappears entirely."""
+    rendered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(idx_col), F.col(role_col), F.col(text_col)))
+        ),
+        lambda t: F.concat_ws(": ", t[role_col], t[text_col]),
+    )
+    return turns.groupBy(F.col(conv_col)).agg(
+        F.concat_ws(sep, rendered).alias("doc_text"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    ).withColumn("n_chars", F.length("doc_text").cast("int"))
+
+
+def snapshot_corpus(
+    spark: SparkSession,
+    table_path: str,
+    out_path: str,
+    snapshot_id: int | None = None,
+    redact: bool = True,
+    min_turns: int = 1,
+    tag: str | None = None,
+) -> dict:
+    """Reproducible corpus export from a LIVE CDC table: pin a snapshot,
+    assemble conversations, optionally redact PII, write one parquet corpus
+    plus a lineage manifest (`_corpus_manifest.json`: source path,
+    snapshot_id, watermark LSN, doc/turn counts, operator settings).
+
+    The point is the pin: a training run must name the exact corpus it saw,
+    but the transcript table keeps moving under CDC. Exporting
+    `read(snapshot_id=...)` makes the corpus a pure function of
+    (table, snapshot_id, settings) — re-running months later yields byte-
+    identical documents, while the live table has moved on. This is the
+    reference pipeline's "consistent extract point" (capture at one SCN)
+    re-expressed at the corpus layer. Retention contract: exports stay
+    reproducible while the snapshot is retained — pass `tag` (the corpus
+    name) to pin the snapshot out of `expire_snapshots`' reach via
+    `tag_snapshot`; re-exporting the same tag re-pins it (replace=True).
+
+    Returns the manifest dict."""
+    from data_pipeline_spark.plans.table_format import LakehouseTable
+
+    table = LakehouseTable(table_path)
+    snap = (
+        table.current_snapshot()
+        if snapshot_id is None
+        else table.snapshot_by_id(snapshot_id)
+    )
+    if tag is not None:
+        table.tag_snapshot(tag, snap["snapshot_id"], replace=True)
+    docs = assemble_conversations(table.read(spark, snapshot_id=snap["snapshot_id"]))
+    if min_turns > 1:
+        docs = docs.where(F.col("n_turns") >= min_turns)
+    if redact:
+        docs = redact_pii(docs, text_col="doc_text")
+    # deterministic file layout: repartition by the same md5-fraction used
+    # everywhere (never round-robin — that's nondeterministic), sort within
+    docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    written = spark.read.parquet(out_path)
+    manifest = {
+        "source_table": os.path.abspath(table_path),
+        "snapshot_id": snap["snapshot_id"],
+        "watermark_lsn": snap.get("watermark_lsn"),
+        "n_docs": written.count(),
+        "n_turns": written.agg(F.sum("n_turns")).collect()[0][0],
+        "settings": {"redact": redact, "min_turns": min_turns},
+        "tag": tag,
+    }
+    with open(os.path.join(out_path, "_corpus_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
 
 
 def pack_sequences(

@@ -188,6 +188,64 @@ class LakehouseTable:
     def snapshot_by_id(self, snapshot_id: int) -> dict:
         return self._load_snapshot(f"snapshot-{snapshot_id:08d}.json")
 
+    # ----------------------------------------------------------------- refs
+    # Named snapshot refs (Iceberg's tags): a tag pins a snapshot — and every
+    # data/manifest file it references — out of `expire_snapshots`' reach, so
+    # a consumer that must re-read an exact historical state months later
+    # (e.g. a training corpus export) names the tag instead of racing GC.
+    # Refs live in one refs.json beside the snapshots; tag/untag are
+    # maintenance ops under the same single-maintainer assumption as
+    # expire_snapshots (the write itself is atomic tmp+rename).
+
+    def _refs(self) -> dict[str, dict]:
+        try:
+            with open(os.path.join(self.meta_dir, "refs.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def tags(self) -> dict[str, dict]:
+        """name -> {"snapshot_id", "created_at"} for every live tag."""
+        return self._refs()
+
+    def tag_snapshot(
+        self, name: str, snapshot_id: int | None = None, replace: bool = False
+    ) -> dict:
+        """Pin `snapshot_id` (default: current) under `name`. Raises if the
+        snapshot doesn't exist, or if the tag exists and points elsewhere
+        (pass replace=True to move it — e.g. re-running an export).
+
+        A tag pins STATE reads (`read(tag=...)`), not changelog continuity:
+        if expiry drops the snapshots between a tagged island and the
+        current chain, `history()`/`read_changes` stop at the gap — the
+        same trade Iceberg makes for incremental scans over expired
+        history."""
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"invalid tag name: {name!r}")
+        snap = (
+            self.current_snapshot() if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)  # raises if missing
+        )
+        refs = self._refs()
+        old = refs.get(name)
+        if old is not None and not replace and old["snapshot_id"] != snap["snapshot_id"]:
+            raise ValueError(
+                f"tag {name!r} already pins snapshot {old['snapshot_id']} "
+                f"(pass replace=True to move it to {snap['snapshot_id']})"
+            )
+        refs[name] = {"snapshot_id": snap["snapshot_id"], "created_at": time.time()}
+        self._write_json("refs.json", refs)
+        return refs[name]
+
+    def remove_tag(self, name: str) -> dict:
+        """Drop a tag; the snapshot becomes expirable again."""
+        refs = self._refs()
+        gone = refs.pop(name, None)
+        if gone is None:
+            raise KeyError(f"no such tag: {name!r}")
+        self._write_json("refs.json", refs)
+        return gone
+
     def _load_schema(self, schema_id: int) -> dict:
         with open(os.path.join(self.meta_dir, f"schema-{schema_id}.json")) as f:
             return json.load(f)
@@ -504,16 +562,27 @@ class LakehouseTable:
         snapshot_id: int | None = None,
         with_lsn: bool = False,
         conv_ids: list[str] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read the table at the current (or a past) snapshot. MOR deltas are
         reconciled here (the read-side LWW); COW tables hit the no-delta fast
         path (plain scan, no shuffle).
+
+        tag: read at a named ref (`tag_snapshot`) — the GC-safe way to time
+        travel, since tagged snapshots survive expire_snapshots.
 
         conv_ids: point-lookup path — prunes the scan to ONLY the buckets
         those conversations hash into (the engine's bucket-partition-pruning
         analog of Iceberg's partition pruning: metadata-level file skipping,
         then a row filter inside the kept buckets). At 128+ buckets a
         point read touches 1/n_buckets of the files."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            refs = self._refs()
+            if tag not in refs:
+                raise KeyError(f"no such tag: {tag!r}")
+            snapshot_id = refs[tag]["snapshot_id"]
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
         buckets = None
@@ -1413,7 +1482,9 @@ class LakehouseTable:
         delete snapshot jsons and any data files no kept snapshot references
         (Iceberg's expire_snapshots + orphan-file cleanup). Time travel only
         works within the kept window afterwards. Safe under the single-writer
-        assumption: the current snapshot is always kept."""
+        assumption: the current snapshot is always kept — and so is every
+        TAGGED snapshot (`tag_snapshot`), Iceberg-style: a pinned corpus
+        export stays re-readable however far the retention window moves."""
         cur = self.current_snapshot()
         all_snaps = sorted(
             int(f[len("snapshot-"):-len(".json")])
@@ -1421,6 +1492,10 @@ class LakehouseTable:
             if f.startswith("snapshot-") and f.endswith(".json")
         )
         keep_ids = set(all_snaps[-keep_last:]) | {cur["snapshot_id"]}
+        keep_ids.update(
+            r["snapshot_id"] for r in self._refs().values()
+            if r["snapshot_id"] in set(all_snaps)
+        )
         live_files: set[str] = set()
         live_manifests: set[str] = set()
         for sid in keep_ids:
