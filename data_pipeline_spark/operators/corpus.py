@@ -183,13 +183,19 @@ def snapshot_corpus(
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
         "overwrite"
     ).parquet(out_path)
-    written = spark.read.parquet(out_path)
+    # one verification pass over the written corpus (count + turn sum in a
+    # single job — parquet footer stats make this metadata-cheap)
+    stats = (
+        spark.read.parquet(out_path)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_turns").alias("t"))
+        .first()
+    )
     manifest = {
         "source_table": os.path.abspath(table_path),
         "snapshot_id": snap["snapshot_id"],
         "watermark_lsn": snap.get("watermark_lsn"),
-        "n_docs": written.count(),
-        "n_turns": written.agg(F.sum("n_turns")).collect()[0][0],
+        "n_docs": stats["n"],
+        "n_turns": stats["t"],
         "settings": {"redact": redact, "min_turns": min_turns},
         "tag": tag,
     }
