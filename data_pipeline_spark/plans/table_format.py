@@ -1017,6 +1017,64 @@ class LakehouseTable:
         self._commit(new)
         return {"skipped": False, "snapshot_id": new_id, "compacted_buckets": len(sel)}
 
+    def rewrite_manifests(
+        self, target_entries_per_manifest: int = 100_000
+    ) -> dict:
+        """Consolidate the manifest LIST without touching data (Iceberg's
+        rewrite_manifests): the current snapshot's N per-commit manifests
+        are rewritten as ceil(total_entries / target) consolidated ones,
+        entries grouped by (layer, bucket) so bucket-pruned reads open the
+        fewest manifests, committed as a 'rewrite_manifests' snapshot that
+        references the SAME data files.
+
+        Why it exists: every merge commit appends one delta manifest, and
+        compaction folds them — but a table deliberately kept at
+        compact_every=∞ (a cascade hub whose delta layer IS the changelog
+        downstream edges replay) accumulates one manifest per batch
+        forever. Read planning walks that list on the driver, so this op
+        folds list length back to O(total/target) in pure metadata — no
+        data rewrite, no Spark session, O(entries) driver time. Changelog
+        readers are unaffected: the rewrite introduces no new data paths,
+        so the path-based incremental diff skips it like a compaction.
+
+        No-op ({"skipped": True}) when the list is already that small."""
+        snap = self.current_snapshot()
+        manifests = snap.get("manifests", [])
+        entries = self._files(snap)
+        target = max(1, target_entries_per_manifest)
+        n_target = max(1, -(-len(entries) // target)) if entries else 0
+        if len(manifests) <= n_target:
+            return {"skipped": True, "n_manifests": len(manifests)}
+        new_id = snap["snapshot_id"] + 1
+        entries = sorted(
+            entries, key=lambda e: (e.get("layer", ""), e["bucket"], e["path"])
+        )
+        refs = [
+            self._write_manifest(new_id, entries[i : i + target])
+            for i in range(0, len(entries), target)
+        ]
+        new = {
+            **snap,
+            "snapshot_id": new_id,
+            "parent": snap["snapshot_id"],
+            "kind": "rewrite_manifests",
+            "batch_id": None,
+            "manifests": refs,
+            "stats": {
+                "manifests_before": len(manifests),
+                "manifests_after": len(refs),
+                "entries": len(entries),
+            },
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "manifests_before": len(manifests),
+            "manifests_after": len(refs),
+        }
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
         """Partition evolution: rewrite the table under a new bucket count
         (Iceberg's partition-spec evolution, eager variant). A deliberate
@@ -1239,7 +1297,10 @@ class LakehouseTable:
             s_files = self._files(s)
             new_entries = [e for e in s_files if e["path"] not in prev_files]
             prev_files.update(e["path"] for e in s_files)
-            if s["kind"] in ("create", "ddl", "compact", "rollback", "rebucket") or not new_entries:
+            if s["kind"] in (
+                "create", "ddl", "compact", "rollback", "rebucket",
+                "rewrite_manifests",
+            ) or not new_entries:
                 continue
             if s["kind"] == "merge":
                 deltas = [e for e in new_entries if e.get("layer") == "delta"]

@@ -8,9 +8,14 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> expire --keep-last 4
     python scripts/maintenance.py --table <path> rebucket --n-buckets 256
     python scripts/maintenance.py --table <path> rollback --snapshot-id 17
+    python scripts/maintenance.py --table <path> rewrite-manifests
+    python scripts/maintenance.py --table <path> tag --name corpus-v1 [--snapshot-id 17]
+    python scripts/maintenance.py --table <path> untag --name corpus-v1
+    python scripts/maintenance.py --table <path> tags
 
-`status` prints snapshot/watermark/schema/delta-depth without starting
-Spark; the others run the corresponding LakehouseTable op.
+`status`, `history`, `rewrite-manifests` and the tag commands are pure
+metadata — they never start Spark; the others run the corresponding
+LakehouseTable op under a local session.
 """
 
 from __future__ import annotations
@@ -38,6 +43,15 @@ def main() -> None:
     rb.add_argument("--n-buckets", type=int, required=True)
     ro = sub.add_parser("rollback")
     ro.add_argument("--snapshot-id", type=int, required=True)
+    rm = sub.add_parser("rewrite-manifests")
+    rm.add_argument("--target-entries", type=int, default=100_000)
+    tg = sub.add_parser("tag")
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--snapshot-id", type=int, default=None)
+    tg.add_argument("--replace", action="store_true")
+    ut = sub.add_parser("untag")
+    ut.add_argument("--name", required=True)
+    sub.add_parser("tags")
     args = ap.parse_args()
 
     from data_pipeline_spark.plans.table_format import LakehouseTable
@@ -72,6 +86,21 @@ def main() -> None:
                 "n_manifests": len(s.get("manifests", [])),
                 "committed_at": s.get("committed_at"),
             }))
+        return
+
+    if args.cmd == "rewrite-manifests":
+        print(json.dumps(table.rewrite_manifests(args.target_entries)))
+        return
+    if args.cmd == "tag":
+        print(json.dumps(
+            table.tag_snapshot(args.name, args.snapshot_id, replace=args.replace)
+        ))
+        return
+    if args.cmd == "untag":
+        print(json.dumps(table.remove_tag(args.name)))
+        return
+    if args.cmd == "tags":
+        print(json.dumps(table.tags()))
         return
 
     from data_pipeline_spark.session import get_spark
