@@ -107,12 +107,22 @@ def assemble_conversations(
     role_col: str = "role",
     text_col: str = "text",
     sep: str = "\n",
+    max_turns: int | None = None,
 ) -> DataFrame:
     """Turns → training documents: one row per conversation, turns ordered
     by `idx_col` and rendered "role: text" joined by `sep`. The bridge from
     the CDC-replicated transcript table to the corpus operators above —
     dedup/quality/sampling/packing all consume documents, the lakehouse
     stores turns.
+
+    max_turns: keep only the first `max_turns` turns of each conversation
+    (the training-window truncation). Relies on the table contract that
+    `idx_col` is dense and 0-based, so it compiles to a row-local
+    `idx < max_turns` PREDICATE — pushed into the parquet scan (file-level
+    min/max pruning skips deep-tail files entirely) and, critically,
+    applied BEFORE the aggregation: a pathological million-turn
+    conversation never reaches collect_list, so reduce-side memory is
+    bounded by design rather than by post-agg slicing.
 
     Output: (conv_id, doc_text, n_turns, n_chars). Null role or text drops
     that part, not the line (concat_ws semantics, identical in DuckDB's
@@ -125,6 +135,8 @@ def assemble_conversations(
     UDFs. At 100 TB the plan is scan → partial agg → exchange(conv_id) →
     final agg, and if the table is bucketed by conv_id (the engine default)
     the exchange disappears entirely."""
+    if max_turns is not None:
+        turns = turns.where(F.col(idx_col) < max_turns)
     rendered = F.transform(
         F.array_sort(
             F.collect_list(F.struct(F.col(idx_col), F.col(role_col), F.col(text_col)))
@@ -144,6 +156,7 @@ def snapshot_corpus(
     snapshot_id: int | None = None,
     redact: bool = True,
     min_turns: int = 1,
+    max_turns: int | None = None,
     tag: str | None = None,
 ) -> dict:
     """Reproducible corpus export from a LIVE CDC table: pin a snapshot,
@@ -173,7 +186,9 @@ def snapshot_corpus(
     )
     if tag is not None:
         table.tag_snapshot(tag, snap["snapshot_id"], replace=True)
-    docs = assemble_conversations(table.read(spark, snapshot_id=snap["snapshot_id"]))
+    docs = assemble_conversations(
+        table.read(spark, snapshot_id=snap["snapshot_id"]), max_turns=max_turns
+    )
     if min_turns > 1:
         docs = docs.where(F.col("n_turns") >= min_turns)
     if redact:
@@ -196,7 +211,7 @@ def snapshot_corpus(
         "watermark_lsn": snap.get("watermark_lsn"),
         "n_docs": stats["n"],
         "n_turns": stats["t"],
-        "settings": {"redact": redact, "min_turns": min_turns},
+        "settings": {"redact": redact, "min_turns": min_turns, "max_turns": max_turns},
         "tag": tag,
     }
     with open(os.path.join(out_path, "_corpus_manifest.json"), "w") as f:

@@ -441,11 +441,19 @@ class LakehouseTable:
         merge_mode: str = "mor",
         compact_every: int = 8,
         update_mode: str = "full",
+        rewrite_manifests_every: int | None = None,
     ) -> None:
         """Create an empty table. n_buckets bounds merge/compaction write
         parallelism — size it ≥ 4N executor cores (SURVEY.md §7 hard part c).
         merge_mode: 'mor' (delta commits + auto-compaction, the CDC design)
         or 'cow' (rewrite affected buckets per merge).
+
+        rewrite_manifests_every: auto-fold the manifest LIST (pure metadata,
+        see rewrite_manifests) whenever a merge leaves it at least this
+        long. For tables that compact, compaction already consolidates; set
+        this on tables deliberately kept at compact_every=∞ (cascade hubs)
+        so read-planning cost stays bounded without a manual maintenance
+        schedule.
 
         update_mode: 'full' (every U carries the complete row image — MSSQL
         CT style; plain LWW merge) or 'partial' (an U carries only the
@@ -477,6 +485,7 @@ class LakehouseTable:
                 "merge_mode": merge_mode,
                 "update_mode": update_mode,
                 "compact_every": compact_every,
+                "rewrite_manifests_every": rewrite_manifests_every,
                 "delta_commits": 0,
                 "manifests": [],
                 "delta_depth": {},
@@ -905,8 +914,16 @@ class LakehouseTable:
         if hot:
             self.compact(spark, buckets=hot)
             compacted = True
+        # Manifest-list upkeep for never-compacting tables (cascade hubs):
+        # pure-metadata fold when the list hits the configured length.
+        rewrite_every = snap.get("rewrite_manifests_every")
+        rewrote = False
+        if rewrite_every and not compacted:
+            if len(self.current_snapshot().get("manifests", [])) >= rewrite_every:
+                rewrote = not self.rewrite_manifests().get("skipped", True)
         return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
                 "affected_buckets": len(bucket_metrics), "compacted": compacted,
+                "manifests_rewritten": rewrote,
                 "bucket_metrics": bucket_metrics}
 
     def _merge_cow(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:

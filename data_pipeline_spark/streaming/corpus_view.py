@@ -1,0 +1,173 @@
+"""Incrementally-maintained DOCUMENTS view of the transcript table.
+
+`assemble_conversations` turns the turn-grained CDC table into training
+documents; this module keeps that result LIVE as conversations keep
+changing, without ever re-assembling the whole corpus:
+
+    upstream.stream_changes → touched conv_ids → bucket-pruned point read
+    → re-assemble ONLY those conversations → merge into the docs table
+    through the engine's own idempotent apply path
+
+Per micro-batch the work is O(churn): the changelog batch names the
+conversations whose document image may have changed; everything else in
+the corpus is untouched. The point read prunes to the buckets those
+conv_ids hash into (metadata-level file skipping), the re-assembly
+aggregates only their turns, and the merge is the same two-shuffle
+bucketed plan as any ingest batch. At 100 TB a day's churn is a few
+thousand conversations — the refresh costs minutes of one executor, not
+a corpus-wide rebuild.
+
+Semantics: the view is a MATERIALIZED VIEW refresh, not a transcript
+replica — each batch re-reads the touched conversations' CURRENT state,
+so the view always converges to `assemble_conversations(upstream)` as of
+the latest refresh, whatever order catch-up micro-batches arrive in.
+Conversations whose turns are all deleted upstream produce a DELETE of
+their document. Emitted rows carry the upstream watermark LSN at refresh
+time: monotone across refreshes, so the engine's LWW keeps the newest
+image; equal-LSN collisions can only carry identical images (same
+upstream snapshot) and are harmless under the D>U>I tie-break.
+
+Exactly-once: checkpoint re-delivery is skipped by batch_id like every
+engine sink — and a replayed refresh would be a no-op anyway (it
+re-derives the same images from the same upstream state).
+
+DML only, MOR upstream required (same contract as cascade edges —
+reference: data_pipeline's applier chain publishing to further consumers,
+SURVEY.md §2 K1/S4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.operators.corpus import assemble_conversations, redact_pii
+from data_pipeline_spark.plans.table_format import LakehouseTable
+from data_pipeline_spark.streaming.ingest import IngestJob
+
+#: Schema of the documents view table. `turn_idx` is constant 0 — a
+#: document is one row per conversation, and pinning the second merge-key
+#: component lets the view reuse the engine's (conv_id, turn_idx) apply
+#: path unchanged.
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), nullable=False),
+        T.StructField("turn_idx", T.IntegerType(), nullable=False),
+        T.StructField("doc_text", T.StringType(), nullable=True),
+        T.StructField("n_turns", T.IntegerType(), nullable=True),
+        T.StructField("n_chars", T.IntegerType(), nullable=True),
+    ]
+)
+
+
+class CorpusViewJob:
+    """Keep a documents table equal to `assemble_conversations(upstream)`
+    by incremental refresh over the upstream changelog stream.
+
+    redact: apply `redact_pii` to each re-assembled document (adds the
+    `_redactions` count nowhere — the view keeps the corpus schema).
+    max_turns: training-window truncation, pushed into the point read."""
+
+    def __init__(
+        self,
+        upstream_path: str,
+        view_path: str,
+        control_path: str,
+        redact: bool = False,
+        max_turns: int | None = None,
+        **ingest_kw,
+    ):
+        self.upstream = LakehouseTable(upstream_path)
+        self.redact = redact
+        self.max_turns = max_turns
+        # the cascade feed is DML-only; skip the DDL probe outright
+        ingest_kw.setdefault("ddl_fast_scan", False)
+        self.job = IngestJob(view_path, control_path, **ingest_kw)
+
+    @staticmethod
+    def create_view_table(path: str, n_buckets: int = 128, **create_kw) -> None:
+        LakehouseTable(path).create(DOCUMENT_SCHEMA, n_buckets=n_buckets, **create_kw)
+
+    # -------------------------------------------------------------- refresh
+    def _refresh_feed(self, spark: SparkSession, changed: DataFrame) -> DataFrame:
+        """One refresh: changed conv_ids → current document images as a
+        change-event feed (U with the full image; D when every turn of the
+        conversation is gone upstream)."""
+        ids = [r["conv_id"] for r in changed.select("conv_id").distinct().collect()]
+        lsn = self.upstream.current_snapshot().get("watermark_lsn") or 0
+        docs = assemble_conversations(
+            self.upstream.read(spark, conv_ids=ids), max_turns=self.max_turns
+        )
+        if self.redact:
+            docs = redact_pii(docs, text_col="doc_text").drop("_redactions")
+        upserts = docs.select(
+            F.lit(lsn).alias("lsn"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.col("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.to_json(F.struct("doc_text", "n_turns", "n_chars")).alias("payload"),
+        )
+        # a touched conversation with no surviving turns → delete its doc
+        deletes = (
+            changed.select("conv_id").distinct()
+            .join(docs.select("conv_id"), "conv_id", "left_anti")
+            .select(
+                F.lit(lsn).alias("lsn"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.col("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.lit(None).cast("string").alias("payload"),
+            )
+        )
+        return upserts.unionByName(deletes)
+
+    def refresh_for(self, spark: SparkSession, batch_id: int, changed: DataFrame) -> dict:
+        """Apply one refresh batch (exposed for tests / batch callers)."""
+        return self.job.apply_batch(
+            spark,
+            batch_id,
+            self._refresh_feed(spark, changed),
+            enforce_watermark=False,
+            ddl_rows=[],
+        )
+
+    # ------------------------------------------------------------- streaming
+    def start(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Tail the upstream changelog and refresh per micro-batch.
+        available_now=True drains the retained changelog and stops."""
+        if self.upstream.current_snapshot().get("merge_mode") != "mor":
+            raise ValueError(
+                f"corpus view upstream {self.upstream.path} is copy-on-write: "
+                "COW merges produce no delta files, so the changelog stream "
+                "would be empty — use merge_mode='mor'"
+            )
+
+        def handle(df: DataFrame, batch_id: int) -> None:
+            self.refresh_for(df.sparkSession, int(batch_id), df)
+
+        writer = (
+            self.upstream.stream_changes(spark, max_files_per_trigger)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, spark: SparkSession, checkpoint_dir: str) -> None:
+        q = self.start(spark, checkpoint_dir, available_now=True)
+        q.awaitTermination()
+
+    def lag(self) -> dict:
+        """Refresh lag in LSNs (same metadata-only metric as cascade edges)."""
+        up = self.upstream.current_snapshot().get("watermark_lsn") or 0
+        down = self.job.table.current_snapshot().get("watermark_lsn") or 0
+        return {"upstream_lsn": up, "view_lsn": down, "lag_lsns": up - down}

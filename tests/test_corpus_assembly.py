@@ -65,6 +65,41 @@ def test_assemble_matches_duckdb(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_assemble_max_turns_matches_duckdb(spark, tmp_path):
+    pdf = _turns_fixture()
+    got = (
+        assemble_conversations(spark.createDataFrame(pdf), max_turns=3)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    want = con.execute(
+        """
+        SELECT conv_id,
+               string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
+                   AS doc_text,
+               count(*)::INT AS n_turns,
+               length(string_agg(concat_ws(': ', role, text),
+                                 chr(10) ORDER BY turn_idx))::INT AS n_chars
+        FROM turns WHERE turn_idx < 3 GROUP BY conv_id ORDER BY conv_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_turns"].max() == 3
+    # the truncation is a pre-aggregation predicate, not a post-agg slice:
+    # over a parquet scan it must reach the reader as a pushed filter
+    # (file-level min/max pruning skips deep-tail files at scale)
+    p = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+    physical = (
+        assemble_conversations(spark.read.parquet(p), max_turns=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LessThan(turn_idx,3)" in physical  # in PushedFilters
+
+
 def test_snapshot_corpus_pinned_reproducible(spark, tmp_path):
     feed = str(tmp_path / "feed")
     generate_feed(feed, FeedSpec(n_events=6_000, n_convs=120, seed=101, chunk_size=3_000))
