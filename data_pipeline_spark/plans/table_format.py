@@ -49,6 +49,7 @@ object stores the CAS comes from the catalog).
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import time
@@ -442,6 +443,8 @@ class LakehouseTable:
         compact_every: int = 8,
         update_mode: str = "full",
         rewrite_manifests_every: int | None = None,
+        cluster_by: list[str] | None = None,
+        target_file_rows: int | None = None,
     ) -> None:
         """Create an empty table. n_buckets bounds merge/compaction write
         parallelism — size it ≥ 4N executor cores (SURVEY.md §7 hard part c).
@@ -454,6 +457,18 @@ class LakehouseTable:
         this on tables deliberately kept at compact_every=∞ (cascade hubs)
         so read-planning cost stays bounded without a manual maintenance
         schedule.
+
+        cluster_by: sort order for COMPACTED base files (e.g.
+        ["conv_id", "turn_idx"]) — Iceberg's table sort order. Compaction
+        sorts each bucket's rows by these columns and records per-file
+        min/max of cluster_by[0] in the manifest, so point reads
+        (`read(conv_ids=)`) skip whole files whose key range can't match
+        (driver-side, zero I/O) and parquet row-group stats prune inside
+        the files that are kept. Set target_file_rows so each bucket
+        splits into several contiguous-key-range files — that's what
+        gives file-level skipping its teeth (one unbounded file per
+        bucket always spans the full range). Delta files stay unsorted
+        (they're small and short-lived; compaction folds them).
 
         update_mode: 'full' (every U carries the complete row image — MSSQL
         CT style; plain LWW merge) or 'partial' (an U carries only the
@@ -486,6 +501,8 @@ class LakehouseTable:
                 "update_mode": update_mode,
                 "compact_every": compact_every,
                 "rewrite_manifests_every": rewrite_manifests_every,
+                "cluster_by": cluster_by,
+                "target_file_rows": target_file_rows,
                 "delta_commits": 0,
                 "manifests": [],
                 "delta_depth": {},
@@ -531,11 +548,20 @@ class LakehouseTable:
         return spark.createDataFrame([], struct)
 
     def _reconciled(
-        self, spark: SparkSession, snap: dict, buckets: set[int] | None = None
+        self, spark: SparkSession, snap: dict, buckets: set[int] | None = None,
+        keys: list[str] | None = None,
     ) -> DataFrame | None:
         """Current live rows (with `lsn` column): base ∪ deltas reconciled by
-        last-writer-wins; tombstones suppressed. None if no files."""
+        last-writer-wins; tombstones suppressed. None if no files.
+
+        keys: requested merge-key values — clustered base files whose
+        manifest key range matches none of them are skipped before any
+        Spark I/O (see _prune_by_key). Safe under LWW reconcile: a pruned
+        file by definition holds no rows for the requested keys, so its
+        absence can't change which version wins."""
         entries = self._files(snap)
+        if keys:
+            entries = self._prune_by_key(entries, keys)
         if buckets is not None:
             entries = [e for e in entries if e["bucket"] in buckets]
         base_e = [e for e in entries if e.get("layer", "base") == "base"]
@@ -584,7 +610,12 @@ class LakehouseTable:
         those conversations hash into (the engine's bucket-partition-pruning
         analog of Iceberg's partition pruning: metadata-level file skipping,
         then a row filter inside the kept buckets). At 128+ buckets a
-        point read touches 1/n_buckets of the files."""
+        point read touches 1/n_buckets of the files. On tables created
+        with cluster_by, files inside the kept buckets are additionally
+        skipped by their manifest key range (_prune_by_key) — so once the
+        id list outgrows n_buckets (every bucket hit), the scan still
+        reads only the files whose key range can match, and parquet
+        row-group stats prune inside those."""
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
@@ -599,7 +630,7 @@ class LakehouseTable:
             if not conv_ids:
                 return self._empty(spark, snap, with_lsn)
             buckets = self._buckets_for(spark, conv_ids, snap["n_buckets"])
-        rec = self._reconciled(spark, snap, buckets=buckets)
+        rec = self._reconciled(spark, snap, buckets=buckets, keys=conv_ids)
         if rec is None:
             return self._empty(spark, snap, with_lsn)
         if conv_ids is not None:
@@ -640,6 +671,8 @@ class LakehouseTable:
     def _write_data(
         self, df: DataFrame, snapshot_id: int, schema_id: int, n_buckets: int, layer: str,
         split_deletes: bool = False,
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         """Write rows (with _bucket, _lsn and — for deltas — _op) under
         data/s<id>/, one shuffle (repartition by _bucket) so writes
@@ -649,16 +682,23 @@ class LakehouseTable:
         `_del` = (op == 'D') so tombstones land in their own files — then
         per-bucket applied/deleted row counts AND the watermark LSN all come
         from parquet FOOTER statistics (file_stats), no data read at all:
-        the same trick as Iceberg manifests carrying per-file stats."""
+        the same trick as Iceberg manifests carrying per-file stats.
+
+        sort_cols clusters each bucket's rows (sortWithinPartitions — a
+        task-local sort, no extra shuffle); with max_records_per_file the
+        writer then splits the sorted stream into sequential files, so
+        every file covers a CONTIGUOUS key range — the layout file-level
+        min/max skipping needs."""
         rel = f"data/s{snapshot_id}"
         out = os.path.join(self.path, rel)
         part_cols = ["_bucket", "_del"] if split_deletes else ["_bucket"]
-        (
-            df.repartition(n_buckets, F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .parquet(out)
-        )
+        shaped = df.repartition(n_buckets, F.col("_bucket"))
+        if sort_cols:
+            shaped = shaped.sortWithinPartitions("_bucket", *sort_cols)
+        writer = shaped.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(*part_cols).parquet(out)
         entries = []
         for root, _dirs, files in sorted(os.walk(out)):
             parts = {
@@ -708,6 +748,54 @@ class LakehouseTable:
         with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
             return list(ex.map(one, entries))
 
+    def _key_stats(self, entries: list[dict], key_col: str) -> list[dict]:
+        """Per-file min/max of `key_col` from parquet footers (same
+        zero-data-I/O sweep as file_stats) → `key_min`/`key_max` manifest
+        fields. Recorded at compaction time for clustered tables; on a real
+        cluster the writers would report these with the commit."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def one(e: dict) -> dict:
+            md = pq.ParquetFile(os.path.join(self.path, e["path"])).metadata
+            if key_col not in md.schema.names:
+                return e
+            idx = md.schema.names.index(key_col)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                return e
+            return {**e, "key_min": lo, "key_max": hi}
+
+        if not entries:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+            return list(ex.map(one, entries))
+
+    @staticmethod
+    def _prune_by_key(entries: list[dict], keys: list[str]) -> list[dict]:
+        """File-level data skipping: drop entries whose [key_min, key_max]
+        range contains none of the requested keys. Entries without recorded
+        key stats (delta files, pre-clustering base files) are always kept —
+        pruning is an optimization, never a correctness filter. Driver-side
+        and O(files · log keys), zero I/O: the manifest-stats half of
+        Iceberg's scan planning."""
+        ks = sorted(keys)
+
+        def hit(e: dict) -> bool:
+            lo, hi = e.get("key_min"), e.get("key_max")
+            if lo is None or hi is None:
+                return True
+            i = bisect.bisect_left(ks, lo)
+            return i < len(ks) and ks[i] <= hi
+
+        return [e for e in entries if hit(e)]
+
     def overwrite(
         self,
         spark: SparkSession,
@@ -731,7 +819,14 @@ class LakehouseTable:
             df = df.withColumn(LSN_COL, F.lit(0).cast("long"))
         data = df.withColumn("_bucket", self.bucket_expr(snap["n_buckets"]))
         new_id = snap["snapshot_id"] + 1
-        entries = self._write_data(data, new_id, snap["schema_id"], snap["n_buckets"], "base")
+        cluster_by = snap.get("cluster_by")
+        entries = self._write_data(
+            data, new_id, snap["schema_id"], snap["n_buckets"], "base",
+            sort_cols=cluster_by,
+            max_records_per_file=snap.get("target_file_rows"),
+        )
+        if cluster_by:
+            entries = self._key_stats(entries, cluster_by[0])
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -944,7 +1039,14 @@ class LakehouseTable:
             live = merge_changeset(existing, chg, data_cols)
         live = live.withColumnRenamed("lsn", LSN_COL)
         new_id = snap["snapshot_id"] + 1
-        new_entries = self._write_data(live, new_id, snap["schema_id"], snap["n_buckets"], "base")
+        cluster_by = snap.get("cluster_by")
+        new_entries = self._write_data(
+            live, new_id, snap["schema_id"], snap["n_buckets"], "base",
+            sort_cols=cluster_by,
+            max_records_per_file=snap.get("target_file_rows"),
+        )
+        if cluster_by:
+            new_entries = self._key_stats(new_entries, cluster_by[0])
         carried = self._carry_without_buckets(snap, new_id, affected)
         if new_entries:
             carried.append(self._write_manifest(new_id, new_entries))
@@ -999,6 +1101,7 @@ class LakehouseTable:
             return {"skipped": True}
         rec = self._reconciled(spark, snap, buckets=sel)
         new_id = snap["snapshot_id"] + 1
+        cluster_by = snap.get("cluster_by")
         entries: list[dict] = []
         if rec is not None:
             base = rec.select(
@@ -1006,7 +1109,13 @@ class LakehouseTable:
                 F.col("lsn").alias(LSN_COL),
                 *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
             )
-            entries = self._write_data(base, new_id, snap["schema_id"], snap["n_buckets"], "base")
+            entries = self._write_data(
+                base, new_id, snap["schema_id"], snap["n_buckets"], "base",
+                sort_cols=cluster_by,
+                max_records_per_file=snap.get("target_file_rows"),
+            )
+            if cluster_by:
+                entries = self._key_stats(entries, cluster_by[0])
         carried = self._carry_without_buckets(snap, new_id, sel)
         if entries:
             carried.append(self._write_manifest(new_id, entries))
