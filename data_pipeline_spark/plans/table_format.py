@@ -162,23 +162,43 @@ def _spark_type(name: str) -> T.DataType:
 
 
 class LakehouseTable:
-    """One table = one directory. Cheap to construct; state lives on disk."""
+    """One table = one directory. Cheap to construct; state lives on disk.
 
-    def __init__(self, path: str):
+    ref: open the table AT A BRANCH (Iceberg branch refs / the
+    write-audit-publish workflow). `LakehouseTable(path, ref="audit")`
+    reads and commits against the `audit` branch head — same snapshot
+    files, same id space, its own hint — so a streaming job can land
+    batches on a staging branch while readers of the main table see only
+    published state; `fast_forward` from a main-ref handle publishes.
+    ref=None (default) is the main table."""
+
+    def __init__(self, path: str, ref: str | None = None):
+        if ref is not None and (not ref or "/" in ref or ref != ref.strip()):
+            raise ValueError(f"invalid branch name: {ref!r}")
         self.path = path
+        self.ref = ref
         self.meta_dir = os.path.join(path, "_meta")
         self._manifest_cache: dict[str, list[dict]] = {}
 
     # ------------------------------------------------------------------ meta
     def _hint_path(self) -> str:
+        if self.ref is not None:
+            return os.path.join(self.meta_dir, f"branch-{self.ref}.hint")
         return os.path.join(self.meta_dir, "version-hint.txt")
 
     def exists(self) -> bool:
         return os.path.exists(self._hint_path())
 
     def current_snapshot(self) -> dict:
-        with open(self._hint_path()) as f:
-            name = f.read().strip()
+        try:
+            with open(self._hint_path()) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            if self.ref is not None:
+                raise KeyError(
+                    f"no such branch: {self.ref!r} (create_branch first)"
+                ) from None
+            raise
         return self._load_snapshot(name)
 
     def _load_snapshot(self, name: str) -> dict:
@@ -188,6 +208,22 @@ class LakehouseTable:
 
     def snapshot_by_id(self, snapshot_id: int) -> dict:
         return self._load_snapshot(f"snapshot-{snapshot_id:08d}.json")
+
+    def _next_id(self, snap: dict) -> int:
+        """Allocate the next snapshot id: above this ref's head AND above
+        every snapshot file on disk. Ids are table-global (Iceberg: lineage
+        lives in `parent`, not in id contiguity) so a staging branch and
+        main never collide on the same snapshot filename / data dir; the
+        link CAS in _commit still catches two writers racing the SAME id.
+        One listdir per commit, bounded by the expire_snapshots window."""
+        mx = snap["snapshot_id"]
+        try:
+            for fn in os.listdir(self.meta_dir):
+                if fn.startswith("snapshot-") and fn.endswith(".json"):
+                    mx = max(mx, int(fn[len("snapshot-"):-len(".json")]))
+        except FileNotFoundError:
+            pass
+        return mx + 1
 
     # ----------------------------------------------------------------- refs
     # Named snapshot refs (Iceberg's tags): a tag pins a snapshot — and every
@@ -246,6 +282,140 @@ class LakehouseTable:
             raise KeyError(f"no such tag: {name!r}")
         self._write_json("refs.json", refs)
         return gone
+
+    # ------------------------------------------------------------- branches
+    # Branch refs (Iceberg branches / the write-audit-publish workflow).
+    # A branch is a movable head: `LakehouseTable(path, ref="audit")`
+    # commits against it through the exact same snapshot/manifest machinery
+    # as main — snapshot ids are TABLE-GLOBAL (allocated above the global
+    # max, see _next_id), lineage lives in `parent` pointers, and each
+    # ref's head is one hint file swung by atomic rename. The WAP loop:
+    #
+    #     create_branch("audit")                      # fork at main head
+    #     IngestJob(path, ctl, ref="audit").…         # land batches staged
+    #     LakehouseTable(path, ref="audit").read(…)   # audit the staged state
+    #     LakehouseTable(path).fast_forward("audit")  # publish (ancestor-
+    #                                                 #   checked hint swing)
+    #     …or reset_branch(last_good_id)              # discard a bad batch
+    #
+    # Readers and changelog tailers of the main table never observe
+    # unpublished snapshots; a discarded batch never enters the published
+    # parent chain, so `read_changes`/`stream_changes` consumers never see
+    # its deltas (rollback_to on main can't give that: it appends a
+    # correction, the bad deltas stay in the chain). Concurrent writers on
+    # different refs are serialized by the snapshot-file link CAS exactly
+    # like same-ref writers; per-ref head swings assume one writer per ref
+    # (the streaming job), same single-maintainer stance as tags.
+
+    def _branch_hints(self) -> dict[str, str]:
+        out = {}
+        try:
+            names = os.listdir(self.meta_dir)
+        except FileNotFoundError:
+            return out
+        for fn in names:
+            if fn.startswith("branch-") and fn.endswith(".hint"):
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    out[fn[len("branch-"):-len(".hint")]] = f.read().strip()
+        return out
+
+    def branches(self) -> dict[str, int]:
+        """name -> head snapshot_id for every branch."""
+        return {
+            n: self._load_snapshot(s)["snapshot_id"]
+            for n, s in self._branch_hints().items()
+        }
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Fork a branch at `snapshot_id` (default: this ref's current
+        head). Raises if the branch already exists — a live branch head is
+        a writer's commit point; moving it under that writer would lose
+        commits (drop_branch first, or reset_branch from the branch
+        handle)."""
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"invalid branch name: {name!r}")
+        hint = os.path.join(self.meta_dir, f"branch-{name}.hint")
+        if os.path.exists(hint):
+            raise ValueError(f"branch {name!r} already exists")
+        snap = (
+            self.current_snapshot() if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)  # raises if missing
+        )
+        tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(f"snapshot-{snap['snapshot_id']:08d}.json")
+        os.rename(tmp, hint)
+        return {"branch": name, "snapshot_id": snap["snapshot_id"]}
+
+    def drop_branch(self, name: str) -> dict:
+        """Remove a branch ref; its unpublished snapshots become
+        unreachable and age out via expire_snapshots."""
+        hint = os.path.join(self.meta_dir, f"branch-{name}.hint")
+        try:
+            with open(hint) as f:
+                head = f.read().strip()
+            os.unlink(hint)
+        except FileNotFoundError:
+            raise KeyError(f"no such branch: {name!r}") from None
+        return {"branch": name, "was_at": self._load_snapshot(head)["snapshot_id"]}
+
+    def reset_branch(self, snapshot_id: int) -> dict:
+        """Swing THIS branch's head back to `snapshot_id` — the WAP
+        'audit failed, discard' step. No new snapshot is committed: the
+        abandoned head simply becomes unreachable (vs rollback_to, which
+        appends a correcting snapshot and keeps the bad one in the chain —
+        right for published history, wrong for never-published staging).
+        Re-delivered batches after the reset point re-apply: the restored
+        snapshot's last_batch_id predates them. Branch handles only — the
+        main table's published chain must stay append-only."""
+        if self.ref is None:
+            raise ValueError("reset_branch is for branch handles; use "
+                             "rollback_to on the main table")
+        target = self.snapshot_by_id(snapshot_id)  # raises if missing
+        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(f"snapshot-{target['snapshot_id']:08d}.json")
+        os.rename(tmp, self._hint_path())
+        return {"branch": self.ref, "snapshot_id": snapshot_id}
+
+    def fast_forward(self, from_branch: str) -> dict:
+        """Publish: swing THIS ref's head to `from_branch`'s head, iff this
+        head is an ancestor of it (a pure fast-forward — no new snapshot,
+        no data movement; Iceberg's fastForwardBranch). After the audit
+        passes this is the entire publish cost: one hint rename. Raises
+        CommitConflictError if the heads have diverged (someone committed
+        to this ref since the fork) — republish by re-forking."""
+        head = LakehouseTable(self.path, ref=from_branch).current_snapshot()
+        cur = self.current_snapshot()
+        if head["snapshot_id"] == cur["snapshot_id"]:
+            return {"skipped": True, "snapshot_id": cur["snapshot_id"]}
+        s = head
+        while True:
+            pid = s.get("parent")
+            if pid == cur["snapshot_id"]:
+                break
+            if pid is None or pid < cur["snapshot_id"]:
+                raise CommitConflictError(
+                    f"{self.ref or 'main'} head {cur['snapshot_id']} is not "
+                    f"an ancestor of branch {from_branch!r} head "
+                    f"{head['snapshot_id']} — diverged; re-fork to publish"
+                )
+            try:
+                s = self.snapshot_by_id(pid)
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"ancestry of branch {from_branch!r} expired below "
+                    f"snapshot {pid} before reaching head {cur['snapshot_id']}"
+                ) from None
+        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(f"snapshot-{head['snapshot_id']:08d}.json")
+        os.rename(tmp, self._hint_path())
+        return {
+            "skipped": False,
+            "snapshot_id": head["snapshot_id"],
+            "published_from": cur["snapshot_id"],
+        }
 
     def _load_schema(self, schema_id: int) -> dict:
         with open(os.path.join(self.meta_dir, f"schema-{schema_id}.json")) as f:
@@ -477,6 +647,9 @@ class LakehouseTable:
         keyed by field id so it survives renames)."""
         assert merge_mode in ("mor", "cow")
         assert update_mode in ("full", "partial")
+        if self.ref is not None:
+            raise ValueError("create the main table first, then create_branch "
+                             "— a branch cannot exist without a main head")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         fields = [
@@ -818,7 +991,7 @@ class LakehouseTable:
         if LSN_COL not in df.columns:
             df = df.withColumn(LSN_COL, F.lit(0).cast("long"))
         data = df.withColumn("_bucket", self.bucket_expr(snap["n_buckets"]))
-        new_id = snap["snapshot_id"] + 1
+        new_id = self._next_id(snap)
         cluster_by = snap.get("cluster_by")
         entries = self._write_data(
             data, new_id, snap["schema_id"], snap["n_buckets"], "base",
@@ -925,7 +1098,7 @@ class LakehouseTable:
         """Fully-duplicate batch: metadata-only commit advancing batch_id."""
         new = {
             **snap,
-            "snapshot_id": snap["snapshot_id"] + 1,
+            "snapshot_id": self._next_id(snap),
             "parent": snap["snapshot_id"],
             "kind": "merge",
             "batch_id": batch_id,
@@ -955,7 +1128,7 @@ class LakehouseTable:
             *mask_cols,
             *data_cols,
         )
-        new_id = snap["snapshot_id"] + 1
+        new_id = self._next_id(snap)
         entries = self._write_data(
             delta, new_id, snap["schema_id"], snap["n_buckets"], "delta", split_deletes=True
         )
@@ -1038,7 +1211,7 @@ class LakehouseTable:
             chg = changes.select("lsn", "op", "_bucket", *data_cols)
             live = merge_changeset(existing, chg, data_cols)
         live = live.withColumnRenamed("lsn", LSN_COL)
-        new_id = snap["snapshot_id"] + 1
+        new_id = self._next_id(snap)
         cluster_by = snap.get("cluster_by")
         new_entries = self._write_data(
             live, new_id, snap["schema_id"], snap["n_buckets"], "base",
@@ -1100,7 +1273,7 @@ class LakehouseTable:
         if not sel:
             return {"skipped": True}
         rec = self._reconciled(spark, snap, buckets=sel)
-        new_id = snap["snapshot_id"] + 1
+        new_id = self._next_id(snap)
         cluster_by = snap.get("cluster_by")
         entries: list[dict] = []
         if rec is not None:
@@ -1171,7 +1344,7 @@ class LakehouseTable:
         n_target = max(1, -(-len(entries) // target)) if entries else 0
         if len(manifests) <= n_target:
             return {"skipped": True, "n_manifests": len(manifests)}
-        new_id = snap["snapshot_id"] + 1
+        new_id = self._next_id(snap)
         entries = sorted(
             entries, key=lambda e: (e.get("layer", ""), e["bucket"], e["path"])
         )
@@ -1212,7 +1385,8 @@ class LakehouseTable:
         if new_n_buckets == snap["n_buckets"]:
             return {"skipped": True}
         rec = self._reconciled(spark, snap)
-        new_id = snap["snapshot_id"] + 1
+        new_id = self._next_id(snap)
+        cluster_by = snap.get("cluster_by")
         entries: list[dict] = []
         if rec is not None:
             base = rec.select(
@@ -1220,7 +1394,13 @@ class LakehouseTable:
                 F.col("lsn").alias(LSN_COL),
                 *[f["name"] for f in self._load_schema(snap["schema_id"])["fields"]],
             )
-            entries = self._write_data(base, new_id, snap["schema_id"], new_n_buckets, "base")
+            entries = self._write_data(
+                base, new_id, snap["schema_id"], new_n_buckets, "base",
+                sort_cols=cluster_by,
+                max_records_per_file=snap.get("target_file_rows"),
+            )
+            if cluster_by:
+                entries = self._key_stats(entries, cluster_by[0])
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -1321,7 +1501,7 @@ class LakehouseTable:
         )
         new = {
             **snap,
-            "snapshot_id": snap["snapshot_id"] + 1,
+            "snapshot_id": self._next_id(snap),
             "parent": snap["snapshot_id"],
             "kind": "ddl",
             "batch_id": None,
@@ -1653,7 +1833,7 @@ class LakehouseTable:
         cur = self.current_snapshot()
         new = {
             **target,
-            "snapshot_id": cur["snapshot_id"] + 1,
+            "snapshot_id": self._next_id(cur),
             "parent": cur["snapshot_id"],
             "kind": "rollback",
             "batch_id": None,
@@ -1671,7 +1851,11 @@ class LakehouseTable:
         works within the kept window afterwards. Safe under the single-writer
         assumption: the current snapshot is always kept — and so is every
         TAGGED snapshot (`tag_snapshot`), Iceberg-style: a pinned corpus
-        export stays re-readable however far the retention window moves."""
+        export stays re-readable however far the retention window moves.
+        Every BRANCH head is likewise kept (a staging writer's commit
+        point must survive GC); snapshots a branch abandoned via
+        reset_branch/drop_branch are unreachable from any ref and age out
+        of the keep-last window like ordinary history."""
         cur = self.current_snapshot()
         all_snaps = sorted(
             int(f[len("snapshot-"):-len(".json")])
@@ -1683,6 +1867,13 @@ class LakehouseTable:
             r["snapshot_id"] for r in self._refs().values()
             if r["snapshot_id"] in set(all_snaps)
         )
+        # all ref heads: main (even when called from a branch handle) + branches
+        try:
+            keep_ids.add(LakehouseTable(self.path).current_snapshot()["snapshot_id"])
+        except FileNotFoundError:
+            pass
+        for head in self._branch_hints().values():
+            keep_ids.add(self._load_snapshot(head)["snapshot_id"])
         live_files: set[str] = set()
         live_manifests: set[str] = set()
         for sid in keep_ids:

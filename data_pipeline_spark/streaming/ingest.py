@@ -58,9 +58,12 @@ class IngestJob:
         # False when apply_batch receives a FILTERED slice of the batch (the
         # file scan sees whole files, not the DF's filters) — multi-table
         # routing does this
+        ref: str | None = None,  # land batches on a BRANCH (write-audit-
+        # publish): commits go to this branch head; main readers see nothing
+        # until LakehouseTable(path).fast_forward(ref) publishes
     ):
         assert on_error in ("abort", "quarantine")
-        self.table = LakehouseTable(table_path)
+        self.table = LakehouseTable(table_path, ref=ref)
         self.control_path = control_path
         self.salt = salt
         self.decoder = decoder

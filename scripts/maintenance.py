@@ -12,10 +12,17 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> tag --name corpus-v1 [--snapshot-id 17]
     python scripts/maintenance.py --table <path> untag --name corpus-v1
     python scripts/maintenance.py --table <path> tags
+    python scripts/maintenance.py --table <path> branch --name audit [--snapshot-id 17]
+    python scripts/maintenance.py --table <path> branches
+    python scripts/maintenance.py --table <path> publish --name audit
+    python scripts/maintenance.py --table <path> reset-branch --name audit --snapshot-id 17
+    python scripts/maintenance.py --table <path> drop-branch --name audit
+    python scripts/maintenance.py --table <path> --ref audit status
 
-`status`, `history`, `rewrite-manifests` and the tag commands are pure
-metadata — they never start Spark; the others run the corresponding
-LakehouseTable op under a local session.
+`status`, `history`, `rewrite-manifests`, the tag commands and all branch
+commands are pure metadata — they never start Spark; the others run the
+corresponding LakehouseTable op under a local session. `--ref <branch>`
+points status/history/compact/etc. at a branch head (write-audit-publish).
 """
 
 from __future__ import annotations
@@ -52,11 +59,23 @@ def main() -> None:
     ut = sub.add_parser("untag")
     ut.add_argument("--name", required=True)
     sub.add_parser("tags")
+    ap.add_argument("--ref", default=None, help="operate on a branch head instead of main")
+    br = sub.add_parser("branch")
+    br.add_argument("--name", required=True)
+    br.add_argument("--snapshot-id", type=int, default=None)
+    sub.add_parser("branches")
+    pb = sub.add_parser("publish")
+    pb.add_argument("--name", required=True)
+    rs = sub.add_parser("reset-branch")
+    rs.add_argument("--name", required=True)
+    rs.add_argument("--snapshot-id", type=int, required=True)
+    db = sub.add_parser("drop-branch")
+    db.add_argument("--name", required=True)
     args = ap.parse_args()
 
     from data_pipeline_spark.plans.table_format import LakehouseTable
 
-    table = LakehouseTable(args.table)
+    table = LakehouseTable(args.table, ref=args.ref)
 
     if args.cmd == "status":
         snap = table.current_snapshot()
@@ -101,6 +120,21 @@ def main() -> None:
         return
     if args.cmd == "tags":
         print(json.dumps(table.tags()))
+        return
+    if args.cmd == "branch":
+        print(json.dumps(table.create_branch(args.name, args.snapshot_id)))
+        return
+    if args.cmd == "branches":
+        print(json.dumps(table.branches()))
+        return
+    if args.cmd == "publish":
+        print(json.dumps(table.fast_forward(args.name)))
+        return
+    if args.cmd == "reset-branch":
+        print(json.dumps(LakehouseTable(args.table, ref=args.name).reset_branch(args.snapshot_id)))
+        return
+    if args.cmd == "drop-branch":
+        print(json.dumps(table.drop_branch(args.name)))
         return
 
     from data_pipeline_spark.session import get_spark

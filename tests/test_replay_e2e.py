@@ -212,8 +212,14 @@ def test_commit_conflict_detection(spark, tmp_path):
 
     old_t = _time.time() - 3600
     os.utime(orphan, (old_t, old_t))
-    table.overwrite(spark, rows)  # succeeds (snapshot 2 reclaims the stale orphan)
+    # a writer racing the SAME id reclaims the stale orphan (liveness-gated)
+    table._commit({**cur, "snapshot_id": cur["snapshot_id"] + 1,
+                   "parent": cur["snapshot_id"], "kind": "overwrite"})
     assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"] + 1
+    # the normal paths allocate ABOVE any on-disk file (_next_id, branch-safe
+    # global id space) — an orphan is skipped, not contended with
+    table.overwrite(spark, rows)
+    assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"] + 2
 
     # real conflict: competing writer committed id N AND swung the hint;
     # a writer still holding the old base must fail its commit of id N
