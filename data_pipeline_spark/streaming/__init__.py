@@ -7,3 +7,11 @@ from data_pipeline_spark.streaming.cascade import (  # noqa: F401
     filter_replica_changes,
 )
 from data_pipeline_spark.streaming.ingest import IngestJob  # noqa: F401
+from data_pipeline_spark.streaming.wap import (  # noqa: F401
+    AuditFailedError,
+    WapIngestJob,
+    audit_changes_clean,
+    audit_row_delta,
+    audit_unique_key,
+    combine_audits,
+)
