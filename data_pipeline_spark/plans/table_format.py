@@ -223,6 +223,14 @@ class LakehouseTable:
                     mx = max(mx, int(fn[len("snapshot-"):-len(".json")]))
         except FileNotFoundError:
             pass
+        # also skip past data dirs a crashed writer renamed into place but
+        # never committed — contending with one would conflict forever
+        try:
+            for fn in os.listdir(os.path.join(self.path, "data")):
+                if fn.startswith("s") and fn[1:].isdigit():
+                    mx = max(mx, int(fn[1:]))
+        except FileNotFoundError:
+            pass
         return mx + 1
 
     # ----------------------------------------------------------------- refs
@@ -372,10 +380,10 @@ class LakehouseTable:
             raise ValueError("reset_branch is for branch handles; use "
                              "rollback_to on the main table")
         target = self.snapshot_by_id(snapshot_id)  # raises if missing
-        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(f"snapshot-{target['snapshot_id']:08d}.json")
-        os.rename(tmp, self._hint_path())
+        # forced move (expected_head=None) but still under the hint lock, so
+        # a committer racing the reset fails its parent check instead of
+        # silently re-advancing a head the operator just rolled back
+        self._swing_hint(f"snapshot-{target['snapshot_id']:08d}.json", expected_head=None)
         return {"branch": self.ref, "snapshot_id": snapshot_id}
 
     def fast_forward(self, from_branch: str) -> dict:
@@ -407,10 +415,12 @@ class LakehouseTable:
                     f"ancestry of branch {from_branch!r} expired below "
                     f"snapshot {pid} before reaching head {cur['snapshot_id']}"
                 ) from None
-        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(f"snapshot-{head['snapshot_id']:08d}.json")
-        os.rename(tmp, self._hint_path())
+        # publish = conditional swing: the head must still be where the
+        # ancestor walk saw it, or a concurrent commit would be orphaned
+        self._swing_hint(
+            f"snapshot-{head['snapshot_id']:08d}.json",
+            expected_head=cur["snapshot_id"],
+        )
         return {
             "skipped": False,
             "snapshot_id": head["snapshot_id"],
@@ -599,10 +609,79 @@ class LakehouseTable:
                 f"snapshot {snap['snapshot_id']} link retries exhausted "
                 "racing a concurrent reclaimer"
             )
-        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(hint_tmp, "w") as f:
-            f.write(name)
-        os.rename(hint_tmp, self._hint_path())  # atomic on POSIX
+        try:
+            self._swing_hint(name, expected_head=snap.get("parent"))
+        except CommitConflictError:
+            # our snapshot file is dead weight now — remove it so the id
+            # doesn't linger as a phantom in the global id space
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+            raise
+
+    #: How long a hint lock may be held before another writer treats it as a
+    #: crash leftover. The critical section is a read + a rename (µs); the
+    #: window only exists for writers that die inside it.
+    hint_lock_reclaim_seconds: float = 60.0
+
+    def _swing_hint(self, name: str, expected_head: int | None) -> None:
+        """Conditionally move this ref's head to snapshot file `name`:
+        under a short-lived lock, verify the CURRENT head is the new
+        snapshot's parent, then rename the hint. This is the serialization
+        point Iceberg gets from its catalog CAS: snapshot ids are allocated
+        table-globally (`_next_id`), so two writers building from different
+        base snapshots never collide on a filename — the parent check here
+        is what makes the loser's commit fail instead of silently
+        ORPHANING the winner's (a compact built from snapshot N must not
+        publish over a merge that committed N+1 while the compact ran).
+        expected_head is the head this writer built from (the snapshot's
+        parent for commits); None (create / forced reset) skips the check but still serializes the rename under the lock."""
+        lock = self._hint_path() + ".lock"
+        acquired = False
+        try:
+            for attempt in range(50):
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    acquired = True
+                    break
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.stat(lock).st_mtime
+                    except FileNotFoundError:
+                        continue
+                    if age > self.hint_lock_reclaim_seconds:
+                        try:
+                            os.unlink(lock)  # crash leftover
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    time.sleep(0.002 * (attempt + 1))
+            if not acquired:
+                raise CommitConflictError(
+                    f"hint lock {lock} held by a concurrent writer"
+                )
+            if expected_head is not None:
+                try:
+                    cur_id = self.current_snapshot()["snapshot_id"]
+                except (FileNotFoundError, KeyError):
+                    cur_id = None
+                if cur_id != expected_head:
+                    raise CommitConflictError(
+                        f"head moved to {cur_id} while this commit was built "
+                        f"from head {expected_head} — reload and retry"
+                    )
+            hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(hint_tmp, "w") as f:
+                f.write(name)
+            os.rename(hint_tmp, self._hint_path())  # atomic on POSIX
+        finally:
+            if acquired:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
 
     # ---------------------------------------------------------------- create
     def create(
@@ -871,7 +950,31 @@ class LakehouseTable:
         writer = shaped.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.partitionBy(*part_cols).parquet(out)
+        # Write to a unique temp dir, then atomically rename to data/s<id>.
+        # Two writers that allocated the SAME id both used to target s<id>
+        # directly — and Spark's overwrite mode clears the output dir first,
+        # so the loser could delete the winner's already-committed files
+        # before the metadata CAS ever saw the conflict. With the rename,
+        # exactly one writer owns s<id> (POSIX dir rename fails on a
+        # non-empty target); the loser surfaces CommitConflictError here,
+        # retries under a fresh id, and its temp dir is removed. A crashed
+        # writer's renamed-but-never-committed dir is skipped by _next_id
+        # (which scans data/ as well as snapshot files) and reclaimed by
+        # expire_snapshots like any unreferenced file.
+        tmp_out = os.path.join(
+            self.path, "data", f".tmp-s{snapshot_id}-{uuid.uuid4().hex[:8]}"
+        )
+        writer.partitionBy(*part_cols).parquet(tmp_out)
+        try:
+            os.rename(tmp_out, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            raise CommitConflictError(
+                f"data dir {rel} already written by a concurrent writer "
+                "allocating the same snapshot id"
+            ) from None
         entries = []
         for root, _dirs, files in sorted(os.walk(out)):
             parts = {
@@ -1693,7 +1796,14 @@ class LakehouseTable:
           a rename committed AFTER the stream starts still needs a restart
           to surface under its new name.
         - MOR tables only (COW merges produce no delta files), like
-          read_changes."""
+          read_changes.
+        - NOT WAP-SAFE: on a table with staging branches the file tail
+          sees STAGED delta files the moment they land — before any audit
+          passes, and even if the batch is later discarded by
+          ``reset_branch``. Consumers of a write-audit-publish table must
+          use ``tail_changes``/``read_changes`` (cursor over the MAIN
+          parent chain, where unpublished snapshots are unreachable by
+          construction)."""
         snap = self.current_snapshot()
         partial = self.update_mode(snap) == "partial"
         cur_fields = self._load_schema(snap["schema_id"])["fields"]

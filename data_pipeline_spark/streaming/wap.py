@@ -28,7 +28,12 @@ content checks at 100 TB (never the full table); `ctx.staged()` /
 `ctx.published()` are full-state reads for invariant checks that need
 them; counts are cached. `combine_audits` ANDs several. Every publish /
 audit-failure lands in the control alerts trail (alerts.jsonl +
-on_alert hook) with the snapshot ids involved."""
+on_alert hook) with the snapshot ids involved.
+
+Downstream consumption of a WAP table: `tail_changes`/`read_changes`
+(cursor over the main chain) — publish-respecting by construction.
+`stream_changes` is NOT: it tails delta files, which exist on disk the
+moment a batch is STAGED (see its docstring)."""
 
 from __future__ import annotations
 
