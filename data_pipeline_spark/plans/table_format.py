@@ -427,6 +427,85 @@ class LakehouseTable:
             "published_from": cur["snapshot_id"],
         }
 
+    def cherry_pick(self, snapshot_id: int) -> dict:
+        """Re-apply one MERGE snapshot's delta files onto THIS ref's head
+        as a new commit (Iceberg's cherrypick_snapshot) — the
+        NON-fast-forward publish path for a diverged staging branch. Pure
+        metadata: the picked delta files are re-referenced by a new
+        manifest, never copied or read. Order safety comes from the
+        engine's reconcile semantics, not commit order — per-key winners
+        are decided by LSN (LWW / sequential fold), so layering a delta set
+        onto a head that advanced past the fork yields exactly the rows a
+        direct apply there would have. The batch skip watermark advances to
+        the picked batch_id, so a checkpoint redelivery of that batch on
+        this ref is a no-op.
+
+        Refuses: non-merge snapshots, COW merges (base rewrites can't be
+        re-layered), bucket-layout mismatch (a rebucket between fork and
+        pick re-routes keys), and double-picks (all files already present →
+        skipped, idempotent)."""
+        src = self.snapshot_by_id(snapshot_id)
+        cur = self.current_snapshot()
+        if src["kind"] != "merge":
+            raise ValueError(
+                f"cherry_pick needs a merge snapshot, got {src['kind']!r}"
+            )
+        if src["n_buckets"] != cur["n_buckets"]:
+            raise ValueError(
+                f"bucket layout changed ({src['n_buckets']} → "
+                f"{cur['n_buckets']}); the picked files route keys wrong"
+            )
+        prefix = f"manifest-{src['snapshot_id']:08d}-"
+        picked = [
+            e
+            for m in src.get("manifests", [])
+            if m["name"].startswith(prefix)
+            for e in self._manifest_entries(m["name"])
+        ]
+        if not picked:
+            return {"skipped": True, "reason": "no files written by snapshot"}
+        if any(e.get("layer", "base") != "delta" for e in picked):
+            raise ValueError(
+                "cherry_pick supports MOR delta commits only (COW merge "
+                "rewrote whole buckets; replay the batch instead)"
+            )
+        have = {e["path"] for e in self._files(cur)}
+        if all(e["path"] in have for e in picked):
+            return {"skipped": True, "reason": "already present"}
+        watermark = max(
+            [cur.get("watermark_lsn") or 0]
+            + [fs["lsn_max"] for fs in self.file_stats(picked) if fs["lsn_max"] is not None]
+        )
+        depth = dict(cur.get("delta_depth", {}))
+        for e in picked:
+            depth[str(e["bucket"])] = depth.get(str(e["bucket"]), 0) + 1
+        src_batch = src.get("batch_id")
+        new_id = self._next_id(cur)
+        new = {
+            **cur,
+            "snapshot_id": new_id,
+            "parent": cur["snapshot_id"],
+            "kind": "cherry-pick",
+            "batch_id": src_batch,
+            "last_batch_id": max(
+                cur.get("last_batch_id", -1),
+                src_batch if src_batch is not None else -1,
+            ),
+            "watermark_lsn": watermark,
+            "delta_commits": cur.get("delta_commits", 0) + 1,
+            "manifests": cur.get("manifests", []) + [self._write_manifest(new_id, picked)],
+            "delta_depth": depth,
+            "stats": {"picked_snapshot": snapshot_id, "picked_files": len(picked)},
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "picked_snapshot": snapshot_id,
+            "picked_files": len(picked),
+        }
+
     def _load_schema(self, schema_id: int) -> dict:
         with open(os.path.join(self.meta_dir, f"schema-{schema_id}.json")) as f:
             return json.load(f)
@@ -1711,7 +1790,10 @@ class LakehouseTable:
                 "rewrite_manifests",
             ) or not new_entries:
                 continue
-            if s["kind"] == "merge":
+            if s["kind"] in ("merge", "cherry-pick"):
+                # cherry-pick re-references an earlier merge's delta files —
+                # new to THIS chain by path-diff, so they emit here exactly
+                # like the direct merge would have
                 deltas = [e for e in new_entries if e.get("layer") == "delta"]
                 if not deltas:
                     raise ValueError(
@@ -1954,11 +2036,20 @@ class LakehouseTable:
         return {"skipped": False, "snapshot_id": new["snapshot_id"], "restored": snapshot_id}
 
     # ------------------------------------------------------------ maintenance
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than_seconds: float | None = None
+    ) -> dict:
         """Garbage-collect history: keep the newest `keep_last` snapshots,
         delete snapshot jsons and any data files no kept snapshot references
         (Iceberg's expire_snapshots + orphan-file cleanup). Time travel only
-        works within the kept window afterwards. Safe under the single-writer
+        works within the kept window afterwards.
+
+        older_than_seconds: additionally keep EVERY snapshot committed
+        within the window (Iceberg's `older_than` retention) — so "expire
+        older than 7 days, retain at least 2" is
+        ``expire_snapshots(keep_last=2, older_than_seconds=7*86400)``; the
+        changelog/time-travel horizon becomes a wall-clock guarantee
+        instead of a commit-count one. Safe under the single-writer
         assumption: the current snapshot is always kept — and so is every
         TAGGED snapshot (`tag_snapshot`), Iceberg-style: a pinned corpus
         export stays re-readable however far the retention window moves.
@@ -1973,6 +2064,12 @@ class LakehouseTable:
             if f.startswith("snapshot-") and f.endswith(".json")
         )
         keep_ids = set(all_snaps[-keep_last:]) | {cur["snapshot_id"]}
+        if older_than_seconds is not None:
+            cutoff = time.time() - older_than_seconds
+            keep_ids.update(
+                sid for sid in all_snaps
+                if self.snapshot_by_id(sid).get("committed_at", 0.0) >= cutoff
+            )
         keep_ids.update(
             r["snapshot_id"] for r in self._refs().values()
             if r["snapshot_id"] in set(all_snaps)

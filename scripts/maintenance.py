@@ -17,6 +17,7 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> publish --name audit
     python scripts/maintenance.py --table <path> reset-branch --name audit --snapshot-id 17
     python scripts/maintenance.py --table <path> drop-branch --name audit
+    python scripts/maintenance.py --table <path> cherry-pick --snapshot-id 17
     python scripts/maintenance.py --table <path> --ref audit status
 
 `status`, `history`, `rewrite-manifests`, the tag commands and all branch
@@ -46,6 +47,8 @@ def main() -> None:
     c.add_argument("--buckets", default=None, help="comma-separated bucket ids; default: all with deltas")
     e = sub.add_parser("expire")
     e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--older-than-seconds", type=float, default=None,
+                   help="also keep every snapshot committed within this window")
     rb = sub.add_parser("rebucket")
     rb.add_argument("--n-buckets", type=int, required=True)
     ro = sub.add_parser("rollback")
@@ -71,6 +74,8 @@ def main() -> None:
     rs.add_argument("--snapshot-id", type=int, required=True)
     db = sub.add_parser("drop-branch")
     db.add_argument("--name", required=True)
+    cp = sub.add_parser("cherry-pick")
+    cp.add_argument("--snapshot-id", type=int, required=True)
     args = ap.parse_args()
 
     from data_pipeline_spark.plans.table_format import LakehouseTable
@@ -136,6 +141,9 @@ def main() -> None:
     if args.cmd == "drop-branch":
         print(json.dumps(table.drop_branch(args.name)))
         return
+    if args.cmd == "cherry-pick":
+        print(json.dumps(table.cherry_pick(args.snapshot_id)))
+        return
 
     from data_pipeline_spark.session import get_spark
 
@@ -147,7 +155,10 @@ def main() -> None:
             )
             out = table.compact(spark, buckets=buckets)
         elif args.cmd == "expire":
-            out = table.expire_snapshots(keep_last=args.keep_last)
+            out = table.expire_snapshots(
+                keep_last=args.keep_last,
+                older_than_seconds=args.older_than_seconds,
+            )
         elif args.cmd == "rebucket":
             out = table.rebucket(spark, args.n_buckets)
         elif args.cmd == "rollback":

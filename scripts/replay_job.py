@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--decoder", default="pandas", choices=["pandas", "sql"])
     ap.add_argument("--update-mode", default="full", choices=["full", "partial"])
     ap.add_argument("--mode", default="stream", choices=["stream", "batch"])
+    ap.add_argument("--wap", action="store_true", help="ingest through the "
+        "write-audit-publish runner: batches land on a staging branch, a "
+        "changelog content audit runs per micro-batch, and a passing audit "
+        "fast-forwards main — measures the staging+audit+publish overhead "
+        "vs the direct apply path (pair with a small --max-files-per-trigger "
+        "so the feed spans many micro-batches)")
     ap.add_argument("--warmup", action="store_true", default=True)
     ap.add_argument("--no-warmup", dest="warmup", action="store_false")
     ap.add_argument(
@@ -77,7 +83,22 @@ def main() -> None:
     LakehouseTable(tbl).create(
         TRANSCRIPT_SCHEMA, n_buckets=args.n_buckets, update_mode=args.update_mode
     )
-    job = IngestJob(tbl, os.path.join(root, "control"), salt=args.salt, decoder=args.decoder)
+    if args.wap and args.mode != "stream":
+        ap.error("--wap is a streaming path (publish per micro-batch)")
+    if args.wap:
+        from data_pipeline_spark.streaming.wap import (
+            WapIngestJob,
+            audit_changes_clean,
+            combine_audits,
+        )
+
+        job = WapIngestJob(
+            tbl, os.path.join(root, "control"),
+            audit=combine_audits(audit_changes_clean("text", "POISON")),
+            salt=args.salt, decoder=args.decoder,
+        )
+    else:
+        job = IngestJob(tbl, os.path.join(root, "control"), salt=args.salt, decoder=args.decoder)
 
     if args.warmup:
         # one-time costs (whole-stage codegen compile, Python worker spawn,
@@ -127,6 +148,7 @@ def main() -> None:
         "mode": args.mode,
         "decoder": args.decoder,
         "update_mode": args.update_mode,
+        "wap": bool(args.wap),
     }))
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)  # don't leak tmpfs
