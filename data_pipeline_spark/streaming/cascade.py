@@ -287,6 +287,56 @@ class CascadeJob:
         q = self.start(spark, checkpoint_dir, available_now=True)
         q.awaitTermination()
 
+    # ----------------------------------------------------- cursor-driven edge
+    def poll_once(self, spark: SparkSession, cursor_path: str) -> dict:
+        """One cursor-driven replication step — the WAP-SAFE edge mode.
+
+        `start()` tails the upstream delta FILE layer, which contains
+        staged (and even later-discarded) branch deltas the moment they
+        land — on a write-audit-publish upstream that leaks unpublished
+        data into the replica. This mode reads via `tail_changes` instead:
+        a durable cursor over the upstream's PUBLISHED parent chain, where
+        unaudited snapshots are unreachable by construction. Drive it from
+        any scheduler (the polling analog of a micro-batch trigger).
+
+        Delivery: at-least-once — the cursor commits only AFTER the
+        downstream merge; a crash between them re-applies the same window,
+        which the idempotent merge absorbs (batch_id = the window's
+        upstream head snapshot id, so an exact redelivery is skipped
+        outright and a widened window re-applies old rows as LWW no-ops).
+        Same DML-only + retention contract as the streaming edge; raises
+        CursorExpiredError if the edge was down past upstream retention
+        (re-initsync the target, then resume)."""
+        _assert_mor_upstream(self.upstream)
+        self.sync_schema()
+        chg, cursor = self.upstream.tail_changes(spark, cursor_path)
+        if chg is None:
+            return {"applied": False, "cursor": cursor}
+        batch_id = cursor["snapshot_id"]
+        res = self.job.apply_batch(
+            spark,
+            batch_id,
+            _replica_feed(chg, self.row_predicate, self.columns),
+            enforce_watermark=False,
+            ddl_rows=[],
+        )
+        LakehouseTable.commit_cursor(cursor_path, cursor)
+        return {"applied": True, "batch_id": batch_id, "cursor": cursor,
+                "result": res}
+
+    def run_until_caught_up(
+        self, spark: SparkSession, cursor_path: str, max_polls: int = 1000
+    ) -> int:
+        """Poll until the published upstream head is fully applied; returns
+        the number of windows applied (the catch-up analog of
+        available_now=True)."""
+        n = 0
+        for _ in range(max_polls):
+            if not self.poll_once(spark, cursor_path)["applied"]:
+                return n
+            n += 1
+        return n
+
     def lag(self) -> dict:
         """Replication lag in LSNs — the edge's health metric (reference
         analog: the audit table's source-vs-target recovery points). Both
