@@ -166,6 +166,39 @@ class CorpusViewJob:
         q = self.start(spark, checkpoint_dir, available_now=True)
         q.awaitTermination()
 
+    # ----------------------------------------------------- cursor-driven mode
+    def poll_once(self, spark: SparkSession, cursor_path: str) -> dict:
+        """One cursor-driven refresh — the WAP-SAFE mode (same rationale as
+        `CascadeJob.poll_once`): `start()` tails the upstream delta FILES,
+        which on a write-audit-publish upstream include staged and
+        later-discarded batches, so the view could briefly assemble
+        documents from conversations whose changes were never published.
+        This mode reads the PUBLISHED chain via `tail_changes`; the refresh
+        re-derives touched conversations from the CURRENT published state,
+        so the view converges on exactly the audited corpus. The cursor
+        commits after the merge; a lost commit just re-refreshes the same
+        conversations to the same images (view refresh is idempotent by
+        construction)."""
+        chg, cursor = self.upstream.tail_changes(spark, cursor_path)
+        if chg is None:
+            return {"applied": False, "cursor": cursor}
+        batch_id = cursor["snapshot_id"]
+        res = self.refresh_for(spark, batch_id, chg.select("conv_id"))
+        LakehouseTable.commit_cursor(cursor_path, cursor)
+        return {"applied": True, "batch_id": batch_id, "cursor": cursor,
+                "result": res}
+
+    def run_until_caught_up(
+        self, spark: SparkSession, cursor_path: str, max_polls: int = 1000
+    ) -> int:
+        """Poll until the view reflects the full published upstream head."""
+        n = 0
+        for _ in range(max_polls):
+            if not self.poll_once(spark, cursor_path)["applied"]:
+                return n
+            n += 1
+        return n
+
     def lag(self) -> dict:
         """Refresh lag in LSNs (same metadata-only metric as cascade edges)."""
         up = self.upstream.current_snapshot().get("watermark_lsn") or 0

@@ -111,3 +111,58 @@ def test_cursor_edge_crash_between_apply_and_commit(spark, tmp_path):
     assert edge.run_until_caught_up(spark, cursor) == 1
     expected = reduce_feed(pd.concat([b0, b1], ignore_index=True))
     assert _texts(spark, down) == expected["text"].tolist()
+
+
+def test_corpus_view_cursor_mode_tracks_published_only(spark, tmp_path):
+    """The documents view in cursor mode equals assemble_conversations over
+    the PUBLISHED upstream — staged and discarded batches never surface."""
+    from data_pipeline_spark.operators.corpus import assemble_conversations
+    from data_pipeline_spark.streaming.corpus_view import CorpusViewJob
+
+    up = str(tmp_path / "A")
+    view = str(tmp_path / "V")
+    LakehouseTable(up).create(TRANSCRIPT_SCHEMA, n_buckets=4, compact_every=10**9)
+    CorpusViewJob.create_view_table(view, n_buckets=4)
+    wap = WapIngestJob(
+        up, str(tmp_path / "ctl-up"),
+        audit=combine_audits(audit_changes_clean("text", "POISON")),
+    )
+    vj = CorpusViewJob(up, view, str(tmp_path / "ctl-view"))
+    cursor = str(tmp_path / "vcursor.json")
+
+    b0 = _feed(1_500, 111)
+    wap.apply_batch(spark, 0, _df(spark, b0))
+    assert vj.run_until_caught_up(spark, cursor) == 1
+
+    def view_frame():
+        return (
+            LakehouseTable(view).read(spark)
+            .select("conv_id", "doc_text", "n_turns")
+            .toPandas().sort_values("conv_id").reset_index(drop=True)
+        )
+
+    def oracle_frame():
+        return (
+            assemble_conversations(LakehouseTable(up).read(spark))
+            .select("conv_id", "doc_text", "n_turns")
+            .toPandas().sort_values("conv_id").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(view_frame(), oracle_frame())
+
+    # discarded poison never reaches the view; staged-only changes don't
+    # trigger refreshes
+    hi = int(b0["lsn"].max())
+    bad = _feed(600, 112, base=hi)
+    bad["payload"] = bad["payload"].str.replace("turn", "POISON", regex=False)
+    with pytest.raises(AuditFailedError):
+        wap.apply_batch(spark, 1, _df(spark, bad))
+    assert vj.run_until_caught_up(spark, cursor) == 0
+    assert not view_frame()["doc_text"].str.contains("POISON").any()
+
+    # later publish refreshes only the published churn, view == oracle
+    b1 = _feed(600, 113, base=hi)
+    wap.apply_batch(spark, 1, _df(spark, b1))
+    assert vj.run_until_caught_up(spark, cursor) == 1
+    pd.testing.assert_frame_equal(view_frame(), oracle_frame())
+    assert not view_frame()["doc_text"].str.contains("POISON").any()
