@@ -323,8 +323,11 @@ class LakehouseTable:
             return out
         for fn in names:
             if fn.startswith("branch-") and fn.endswith(".hint"):
-                with open(os.path.join(self.meta_dir, fn)) as f:
-                    out[fn[len("branch-"):-len(".hint")]] = f.read().strip()
+                try:
+                    with open(os.path.join(self.meta_dir, fn)) as f:
+                        out[fn[len("branch-"):-len(".hint")]] = f.read().strip()
+                except FileNotFoundError:
+                    pass  # dropped by a concurrent drop_branch mid-listing
         return out
 
     def branches(self) -> dict[str, int]:
@@ -469,9 +472,36 @@ class LakehouseTable:
                 "cherry_pick supports MOR delta commits only (COW merge "
                 "rewrote whole buckets; replay the batch instead)"
             )
-        have = {e["path"] for e in self._files(cur)}
+        # idempotency must survive compaction folding the picked files out
+        # of the HEAD: check presence across the whole retained chain (the
+        # pre-compact snapshots still reference the paths), not just the
+        # current snapshot — else a retried pick after a compact would
+        # re-layer stale deltas and re-emit the batch to every cursor
+        have = {e["path"] for s in self.history() for e in self._files(s)}
         if all(e["path"] in have for e in picked):
             return {"skipped": True, "reason": "already present"}
+        # divergent-DDL guard: a field id shared by the picked files' schema
+        # and the current schema must name the same logical column (same
+        # name or rename-lineage overlap) — concurrent add_column on two
+        # refs can bind one id to two different columns, and re-layering
+        # those files would silently decode one column's data as the other
+        if src["schema_id"] != cur["schema_id"]:
+            cur_by_id = {
+                f["id"]: f for f in self._load_schema(cur["schema_id"])["fields"]
+            }
+            for sf in self._load_schema(src["schema_id"])["fields"]:
+                cf = cur_by_id.get(sf["id"])
+                if cf is None:
+                    continue  # dropped here: projection just omits it
+                if not (
+                    {sf["name"], *sf.get("former_names", [])}
+                    & {cf["name"], *cf.get("former_names", [])}
+                ):
+                    raise ValueError(
+                        f"field id {sf['id']} names {sf['name']!r} in the "
+                        f"picked snapshot's schema but {cf['name']!r} here — "
+                        "divergent DDL across refs; replay the batch instead"
+                    )
         watermark = max(
             [cur.get("watermark_lsn") or 0]
             + [fs["lsn_max"] for fs in self.file_stats(picked) if fs["lsn_max"] is not None]
@@ -727,12 +757,22 @@ class LakehouseTable:
                     break
                 except FileExistsError:
                     try:
-                        age = time.time() - os.stat(lock).st_mtime
+                        st = os.stat(lock)
                     except FileNotFoundError:
                         continue
-                    if age > self.hint_lock_reclaim_seconds:
+                    if time.time() - st.st_mtime > self.hint_lock_reclaim_seconds:
+                        # Reclaim a crash leftover — but verify IDENTITY
+                        # immediately before the unlink: a concurrent
+                        # reclaimer may have already replaced the stale
+                        # lock with its own FRESH one, and unlinking that
+                        # would let two writers into the critical section.
+                        # (stat→unlink is still a TOCTOU, but the window is
+                        # microseconds against a 60 s staleness bar — the
+                        # standard lease-protocol liveness assumption.)
                         try:
-                            os.unlink(lock)  # crash leftover
+                            st2 = os.stat(lock)
+                            if (st2.st_ino, st2.st_mtime) == (st.st_ino, st.st_mtime):
+                                os.unlink(lock)
                         except FileNotFoundError:
                             pass
                         continue
@@ -961,7 +1001,15 @@ class LakehouseTable:
             if not conv_ids:
                 return self._empty(spark, snap, with_lsn)
             buckets = self._buckets_for(spark, conv_ids, snap["n_buckets"])
-        rec = self._reconciled(spark, snap, buckets=buckets, keys=conv_ids)
+        # key-range pruning is sound only when the recorded per-file stats
+        # (cluster_by[0]) are stats OF the filtered column — a table
+        # clustered by some other column (ts, text) must not prune on
+        # conv_id literals: wrong-typed bisect at best, silently dropped
+        # matching files at worst
+        prunable = (snap.get("cluster_by") or [None])[0] == "conv_id"
+        rec = self._reconciled(
+            spark, snap, buckets=buckets, keys=conv_ids if prunable else None
+        )
         if rec is None:
             return self._empty(spark, snap, with_lsn)
         if conv_ids is not None:
@@ -1676,7 +1724,22 @@ class LakehouseTable:
             # of the batch (checkpoint recovery, create_table fan-out) —
             # unbounded metadata churn for zero schema change.
             return {"skipped": True}
+        # schema ids are TABLE-GLOBAL like snapshot ids (_next_id): a branch
+        # and main evolving concurrently must never write the same
+        # schema-<id>.json — per-chain `schema_id + 1` would let the second
+        # writer's rename silently overwrite the first's file, re-labeling
+        # already-written data columns. (Field-id divergence across refs is
+        # a separate, detected condition — see cherry_pick's schema check;
+        # fast_forward publishes one chain wholesale, so it never mixes.)
         new_schema_id = snap["schema_id"] + 1
+        try:
+            for fn in os.listdir(self.meta_dir):
+                if fn.startswith("schema-") and fn.endswith(".json"):
+                    new_schema_id = max(
+                        new_schema_id, int(fn[len("schema-"):-len(".json")]) + 1
+                    )
+        except FileNotFoundError:
+            pass
         self._write_json(
             f"schema-{new_schema_id}.json",
             {"schema_id": new_schema_id, "fields": fields, "last_column_id": last_column_id},
@@ -2053,10 +2116,14 @@ class LakehouseTable:
         assumption: the current snapshot is always kept — and so is every
         TAGGED snapshot (`tag_snapshot`), Iceberg-style: a pinned corpus
         export stays re-readable however far the retention window moves.
-        Every BRANCH head is likewise kept (a staging writer's commit
-        point must survive GC); snapshots a branch abandoned via
-        reset_branch/drop_branch are unreachable from any ref and age out
-        of the keep-last window like ordinary history."""
+        Every BRANCH head is kept along with its STAGED ANCESTRY — the
+        parent chain from the head down to the first already-kept (or
+        expired) snapshot — because `fast_forward` must walk that chain to
+        prove the publish is an ancestor move, and the audit reads the
+        staged changelog across it; GC'ing a middle staged snapshot would
+        make the branch permanently unpublishable. Snapshots a branch
+        abandoned via reset_branch/drop_branch are unreachable from any
+        ref and age out of the keep-last window like ordinary history."""
         cur = self.current_snapshot()
         all_snaps = sorted(
             int(f[len("snapshot-"):-len(".json")])
@@ -2080,7 +2147,19 @@ class LakehouseTable:
         except FileNotFoundError:
             pass
         for head in self._branch_hints().values():
-            keep_ids.add(self._load_snapshot(head)["snapshot_id"])
+            # keep the whole staged segment: head → first kept/expired
+            # ancestor (fast_forward's ancestor walk + the staged-changelog
+            # audit both need every link of this chain)
+            s = self._load_snapshot(head)
+            while True:
+                keep_ids.add(s["snapshot_id"])
+                pid = s.get("parent")
+                if pid is None or pid in keep_ids:
+                    break
+                try:
+                    s = self.snapshot_by_id(pid)
+                except FileNotFoundError:
+                    break
         live_files: set[str] = set()
         live_manifests: set[str] = set()
         for sid in keep_ids:

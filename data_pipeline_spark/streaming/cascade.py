@@ -329,13 +329,17 @@ class CascadeJob:
     ) -> int:
         """Poll until the published upstream head is fully applied; returns
         the number of windows applied (the catch-up analog of
-        available_now=True)."""
+        available_now=True). Raises if max_polls windows still didn't catch
+        up — a silent partial catch-up must not read as success."""
         n = 0
         for _ in range(max_polls):
             if not self.poll_once(spark, cursor_path)["applied"]:
                 return n
             n += 1
-        return n
+        raise RuntimeError(
+            f"edge still behind after {max_polls} windows — raise max_polls "
+            "or keep polling"
+        )
 
     def lag(self) -> dict:
         """Replication lag in LSNs — the edge's health metric (reference

@@ -191,13 +191,17 @@ class CorpusViewJob:
     def run_until_caught_up(
         self, spark: SparkSession, cursor_path: str, max_polls: int = 1000
     ) -> int:
-        """Poll until the view reflects the full published upstream head."""
+        """Poll until the view reflects the full published upstream head;
+        raises if still behind after max_polls (never a silent partial)."""
         n = 0
         for _ in range(max_polls):
             if not self.poll_once(spark, cursor_path)["applied"]:
                 return n
             n += 1
-        return n
+        raise RuntimeError(
+            f"view still behind after {max_polls} windows — raise max_polls "
+            "or keep polling"
+        )
 
     def lag(self) -> dict:
         """Refresh lag in LSNs (same metadata-only metric as cascade edges)."""

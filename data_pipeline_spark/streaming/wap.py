@@ -222,6 +222,11 @@ class WapIngestJob:
         def handle(df: DataFrame, batch_id: int) -> None:
             self.apply_batch(df.sparkSession, int(batch_id), df)
 
+        # same wiring as IngestJob.start_stream: streaming micro-batches
+        # report no inputFiles, so the driver-side DDL fast scan reads the
+        # checkpoint's source manifest — without this every batch pays the
+        # two-phase Spark DDL probe
+        self.job._checkpoint_dir = checkpoint_dir
         stream = read_feed_stream(spark, feed_dir, max_files_per_trigger)
         writer = (
             stream.writeStream.foreachBatch(handle)
