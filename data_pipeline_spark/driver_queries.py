@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_spark.operators.lww import lww_dedup
+from data_pipeline_spark.operators import corpus as corpus_ops
 from data_pipeline_spark.operators.merge import merge_changeset
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1799,3 +1800,159 @@ def orders_pivot_status(spark, sf_dir):
         rev("P").alias("rev_p"),
         F.count("*").alias("n_orders"),
     )
+
+
+# =========================================================================
+# Corpus-assembly operators (operators/corpus.py) — the training-data
+# assembly layer gets its own driver-oracle rows (round-4 ask): the Spark
+# side calls the REAL operators; the oracle re-derives every decision in
+# DuckDB (same md5 uniforms, same shared-dialect regexes, same window
+# cumsum) on the same parquet.
+# =========================================================================
+
+_PII_EMAIL, _PII_PHONE, _PII_IP = (p for p, _ in corpus_ops.PII_PATTERNS)
+_RED1 = f"regexp_replace(raw_text, '{_PII_EMAIL}', '<EMAIL>', 'g')"
+_RED2 = f"regexp_replace({_RED1}, '{_PII_PHONE}', '<PHONE>', 'g')"
+_RED3 = f"regexp_replace({_RED2}, '{_PII_IP}', '<IP>', 'g')"
+_REDCOUNT = (
+    f"len(regexp_extract_all(raw_text, '{_PII_EMAIL}'))"
+    f" + len(regexp_extract_all({_RED1}, '{_PII_PHONE}'))"
+    f" + len(regexp_extract_all({_RED2}, '{_PII_IP}'))"
+)
+
+
+@query(
+    "assemble_redact_transcripts",
+    f"""
+    WITH turns AS (
+      SELECT user_id, event_id, event_type,
+             'u' || CAST(user_id AS VARCHAR) || '@example.com ' || props AS text
+      FROM events
+    ), docs AS (
+      SELECT user_id,
+             string_agg(concat_ws(': ', event_type, text), chr(10)
+                        ORDER BY event_id) AS raw_text,
+             CAST(count(*) AS INT) AS n_turns
+      FROM turns GROUP BY user_id
+    )
+    SELECT user_id,
+           {_RED3} AS doc_text,
+           n_turns,
+           CAST(length(raw_text) AS INT) AS n_chars,
+           CAST({_REDCOUNT} AS INT) AS n_redactions
+    FROM docs
+    """,
+)
+def assemble_redact_transcripts(spark, sf_dir):
+    """Conversation assembly + PII redaction over the events change-feed
+    analog (user_id ≈ conv, event_id order ≈ turn order, a synthetic
+    per-turn email so the redactor provably fires): turns → one training
+    document per conversation via `assemble_conversations` (ONE map-side-
+    combinable shuffle), then `redact_pii(counts=True)` (row-local chained
+    regexp_replace). n_chars is the PRE-redaction length (assembly output);
+    the oracle re-derives the same chain in DuckDB (string_agg ORDER BY +
+    RE2 on the shared-dialect patterns)."""
+    turns = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"),
+            F.lit("@example.com "), F.col("props"),
+        ).alias("text"),
+    )
+    docs = corpus_ops.assemble_conversations(
+        turns, conv_col="user_id", idx_col="event_id",
+        role_col="event_type", text_col="text",
+    )
+    red = corpus_ops.redact_pii(docs, text_col="doc_text", counts=True)
+    return red.select(
+        "user_id", "doc_text", "n_turns", "n_chars",
+        F.col("_redactions").alias("n_redactions"),
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "pack_sequences_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS shard
+      FROM documents WHERE length(text) > 0
+    ), c AS (
+      SELECT *,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n AS e
+      FROM d
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(q.seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(GREATEST(s, q.seq_id * {_PACK_BUDGET}) - q.seq_id * {_PACK_BUDGET} AS INT) AS seq_offset,
+           CAST(GREATEST(s, q.seq_id * {_PACK_BUDGET}) - s AS INT) AS doc_offset,
+           CAST(LEAST(e, (q.seq_id + 1) * {_PACK_BUDGET}) - GREATEST(s, q.seq_id * {_PACK_BUDGET}) AS INT) AS len
+    FROM c, LATERAL (
+      SELECT unnest(range(CAST(s // {_PACK_BUDGET} AS BIGINT),
+                          CAST((e - 1) // {_PACK_BUDGET} + 1 AS BIGINT))) AS seq_id
+    ) q
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """Token-budget sequence packing (GPT-style pack-then-chunk slice
+    table) over the documents table, n_tokens = length(text): md5-sharded
+    so each shard packs independently — the only shuffle is one bounded
+    per-shard window sort (corpus/n_shards, never the corpus). Oracle =
+    DuckDB window-cumsum + LATERAL range reconstruction."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    return corpus_ops.pack_sequences(docs, _PACK_BUDGET, n_shards=8)
+
+
+@query(
+    "corpus_sample_mix",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, source FROM documents
+      WHERE (('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             / 4294967295.0)
+            < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                          WHEN 'src2' THEN 0.0 ELSE 0.2 END
+    ), w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                         WHEN 'src3' THEN 0.5 WHEN 'src4' THEN 1.2
+                         ELSE 0.0 END AS wt,
+             (('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              / 4294967295.0) AS u
+      FROM kept
+    ), n AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS BIGINT)
+             + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS reps
+      FROM w
+    )
+    SELECT n.doc_id, n.source, CAST(e.epoch AS BIGINT) AS epoch
+    FROM n, LATERAL (SELECT unnest(range(1, reps + 1)) AS epoch) e
+    WHERE reps > 0
+    """,
+)
+def corpus_sample_mix(spark, sf_dir):
+    """Deterministic corpus curation: stratified sampling (keep-rates per
+    source) composed with mixing-weight upsampling (epochs per source) —
+    both md5-uniform decisions, ZERO shuffles (row-local predicate + an
+    explode), so at 100 TB this whole query is a filter over the scan. The
+    oracle recomputes every keep/repeat decision in DuckDB (same md5, same
+    hex slice)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = corpus_ops.stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.25, "src2": 0.0},
+        key_col="doc_id", default_rate=0.2,
+    )
+    mixed = corpus_ops.upsample_by_weight(
+        kept, {"src0": 2.5, "src1": 1.0, "src3": 0.5, "src4": 1.2},
+        strata_col="source", key_col="doc_id",
+    )
+    return mixed.select("doc_id", "source", "epoch")

@@ -84,20 +84,30 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
-def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+def redact_pii(df: DataFrame, text_col: str = "text", counts: bool = False) -> DataFrame:
     """Scrub emails / phone-ish numbers / IPv4s from a text column
     (chained regexp_replace — whole-stage codegen, row-local, no shuffle).
     The pattern list is the policy surface; a real deployment extends it.
-    Adds `_redactions` = count of replacements (cheap: length delta signal
-    is not reliable, so we count matches before replacing)."""
+
+    counts=True additionally emits `_redactions` = number of replacements
+    per row (useful lineage), but it runs every pattern TWICE
+    (regexp_extract_all to count, then regexp_replace) — ~2× the regex CPU
+    on every document, measured +71% wall on a redaction-only pass over
+    sf0.1 documents (scripts/bench_corpus.py, BENCH/BASELINE.md §Redaction
+    cost). A length-delta count would be single-pass but is unreliable
+    (replacement tokens change lengths unpredictably), so counting stays
+    exact and OPT-IN; the default is the single-pass scrub."""
     out = F.col(text_col)
     n = F.lit(0)
     for pat, token in PII_PATTERNS:
-        n = n + F.coalesce(
-            F.cardinality(F.regexp_extract_all(out, F.lit(pat), F.lit(0))), F.lit(0)
-        )
+        if counts:
+            n = n + F.coalesce(
+                F.cardinality(F.regexp_extract_all(out, F.lit(pat), F.lit(0))), F.lit(0)
+            )
         out = F.regexp_replace(out, pat, token)
-    return df.withColumn("_redactions", n.cast("int")).withColumn(text_col, out)
+    if counts:
+        df = df.withColumn("_redactions", n.cast("int"))
+    return df.withColumn(text_col, out)
 
 
 def assemble_conversations(

@@ -64,8 +64,8 @@ class CorpusViewJob:
     """Keep a documents table equal to `assemble_conversations(upstream)`
     by incremental refresh over the upstream changelog stream.
 
-    redact: apply `redact_pii` to each re-assembled document (adds the
-    `_redactions` count nowhere — the view keeps the corpus schema).
+    redact: apply `redact_pii` to each re-assembled document (the default
+    single-pass scrub — the view keeps the corpus schema, no counts column).
     max_turns: training-window truncation, pushed into the point read."""
 
     def __init__(
@@ -75,11 +75,25 @@ class CorpusViewJob:
         control_path: str,
         redact: bool = False,
         max_turns: int | None = None,
+        high_churn_threshold: int = 100_000,
         **ingest_kw,
     ):
         self.upstream = LakehouseTable(upstream_path)
         self.redact = redact
         self.max_turns = max_turns
+        # Above this many distinct touched conversations per refresh the
+        # point-read path stops making sense: collecting the id list pushes
+        # megabytes through the driver and the isin filter, and with every
+        # bucket touched the pruning buys nothing. Past the cap we switch to
+        # a distributed semi-join of the changed ids against the upstream
+        # read (same shape as the DDL-bomb cap in multi_table.py) — zero
+        # driver-side materialization, correct for a post-initsync or
+        # backfill batch touching 100% of conversations.
+        self.high_churn_threshold = high_churn_threshold
+        #: refresh-path telemetry: "point" (collected id list, bucket/key-
+        #: range pruned) or "semi_join" (high-churn distributed path) —
+        #: set per refresh, readable by tests and operators.
+        self.last_refresh_mode: str | None = None
         # the cascade feed is DML-only; skip the DDL probe outright
         ingest_kw.setdefault("ddl_fast_scan", False)
         self.job = IngestJob(view_path, control_path, **ingest_kw)
@@ -92,14 +106,29 @@ class CorpusViewJob:
     def _refresh_feed(self, spark: SparkSession, changed: DataFrame) -> DataFrame:
         """One refresh: changed conv_ids → current document images as a
         change-event feed (U with the full image; D when every turn of the
-        conversation is gone upstream)."""
-        ids = [r["conv_id"] for r in changed.select("conv_id").distinct().collect()]
+        conversation is gone upstream).
+
+        Two regimes, picked by ONE cheap count-distinct over the batch:
+        - churn ≤ high_churn_threshold (the design point — daily churn ≪
+          corpus): collect the id list and point-read it (bucket pruning +
+          manifest key-range skipping → O(churn) files touched);
+        - churn above the cap (initsync fallout, backfill, full overwrite):
+          semi-join the changed-ids frame against the upstream read — the
+          id set never lands on the driver, and the refresh degrades
+          gracefully into one distributed pass instead of a giant isin."""
+        changed_ids = changed.select("conv_id").distinct()
+        n_changed = changed_ids.count()
         lsn = self.upstream.current_snapshot().get("watermark_lsn") or 0
-        docs = assemble_conversations(
-            self.upstream.read(spark, conv_ids=ids), max_turns=self.max_turns
-        )
+        if n_changed <= self.high_churn_threshold:
+            self.last_refresh_mode = "point"
+            ids = [r["conv_id"] for r in changed_ids.collect()]
+            turns = self.upstream.read(spark, conv_ids=ids)
+        else:
+            self.last_refresh_mode = "semi_join"
+            turns = self.upstream.read(spark).join(changed_ids, "conv_id", "semi")
+        docs = assemble_conversations(turns, max_turns=self.max_turns)
         if self.redact:
-            docs = redact_pii(docs, text_col="doc_text").drop("_redactions")
+            docs = redact_pii(docs, text_col="doc_text")
         upserts = docs.select(
             F.lit(lsn).alias("lsn"),
             F.lit("U").alias("op"),
@@ -110,7 +139,7 @@ class CorpusViewJob:
         )
         # a touched conversation with no surviving turns → delete its doc
         deletes = (
-            changed.select("conv_id").distinct()
+            changed_ids
             .join(docs.select("conv_id"), "conv_id", "left_anti")
             .select(
                 F.lit(lsn).alias("lsn"),

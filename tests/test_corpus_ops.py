@@ -119,7 +119,11 @@ def test_redact_pii_matches_duckdb(spark, duck):
         (4, "two mails a@b.io c@d.org and a phone 020 7946 0958"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = redact_pii(df).orderBy("doc_id").toPandas()
+    got = redact_pii(df, counts=True).orderBy("doc_id").toPandas()
+    # default is the single-pass scrub: same text, no counts column
+    plain = redact_pii(df).orderBy("doc_id").toPandas()
+    assert "_redactions" not in plain.columns
+    assert plain["text"].tolist() == got["text"].tolist()
 
     expr = "text"
     for pat, token in PII_PATTERNS:

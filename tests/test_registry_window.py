@@ -42,6 +42,70 @@ def test_category_queries_front_loaded():
         assert must in window, f"{must} outside the checked window"
 
 
+#: SURVEY.md §2.2 categories AND the LLM-ops families, each mapped to the
+#: registry queries that can hold its oracle row. The guard: every family
+#: names ≥ 1 query inside the driver's 50-entry check window, so a future
+#: registry addition can never silently push a whole category out again
+#: (the round-2 failure mode). Extend the map when adding a family.
+FAMILY_QUERIES = {
+    # §2.2 categories
+    "pushdown/projection": ["pricing_summary", "doc_hash_sample"],
+    "joins-broadcast/semi/anti": ["top_revenue_orders", "customers_without_orders"],
+    "joins-asof": ["asof_prev_click_per_purchase"],
+    "joins-interval": ["interval_join_signup_followup"],
+    "agg-grouping-sets": ["grouping_sets_revenue"],
+    "agg-percentiles": ["events_value_percentiles"],
+    "window-rank": ["top3_orders_per_customer"],
+    "window-lag": ["customer_order_lag"],
+    "window-frames": ["cumulative_revenue_by_customer"],
+    "sort/topk": ["top_revenue_orders"],
+    "set-ops": ["status_intersect_customers", "union_price_bands"],
+    "scalar-string": ["part_string_features"],
+    "scalar-date": ["orders_by_month"],
+    "scalar-json": ["props_json_stats"],
+    "scalar-array": ["embedding_norms"],
+    "pivot/conditional-agg": ["orders_pivot_status"],
+    "stateful-sessionize": ["sessionize_events"],
+    # CDC core
+    "cdc-lww": ["lww_latest_by_user"],
+    "cdc-merge": ["cdc_apply_merge"],
+    "cdc-partial-images": ["cdc_partial_image_fold"],
+    "cdc-recovery": ["recovery_filter_counts"],
+    "cdc-lineage": ["audit_batch_lineage"],
+    "cdc-e2e-replay": ["cdc_replay_transcripts"],
+    # LLM-ops families
+    "dedup-exact": ["dedup_exact_docs", "dedup_prefix_groups"],
+    "dedup-neardup-cc": ["near_dup_clusters", "dedup_survivors"],
+    "dedup-minhash-lsh": ["lsh_band_buckets", "minhash_dedup_pairs"],
+    "dedup-jaccard-exact": ["ngram_jaccard_pairs"],
+    "dedup-simhash": ["simhash16_docs"],
+    "ann-brute/ivf": ["cosine_similar_to_query", "ann_ivf_label_cell",
+                      "ann_ivf_multiprobe"],
+    "embedding-neardup": ["embedding_near_dup_pairs"],
+    "text-quality": ["doc_quality_scores"],
+    "text-langid": ["lang_id_heuristic"],
+    "text-tokens": ["token_counts_regex", "vocab_top_terms"],
+    "multimodal": ["multimodal_decode_meta", "multimodal_frame_sample"],
+    "corpus-assembly+redaction": ["assemble_redact_transcripts"],
+    "corpus-packing": ["pack_sequences_docs"],
+    "corpus-sampling/mix": ["corpus_sample_mix"],
+}
+
+
+def test_every_family_has_a_row_in_window():
+    window = set(list(entry_mod.queries())[:50])
+    missing = {
+        fam: qs for fam, qs in FAMILY_QUERIES.items() if not (set(qs) & window)
+    }
+    assert not missing, f"families with no oracle row in the 50-window: {missing}"
+
+
+def test_family_map_names_resolve():
+    for fam, qs in FAMILY_QUERIES.items():
+        for q in qs:
+            assert q in driver_queries.Q, f"{fam}: {q} not in registry"
+
+
 def test_oracle_keys_subset_of_queries():
     q, sql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(sql) <= set(q)
