@@ -1,4 +1,14 @@
-"""Core relational operators: last-writer-wins dedup and MERGE apply."""
+"""Core relational operators: last-writer-wins dedup, MERGE apply, and the
+corpus-preparation layer (assembly / sampling / redaction / packing)."""
 
+from data_pipeline_spark.operators.corpus import (  # noqa: F401
+    PII_PATTERNS,
+    assemble_conversations,
+    pack_sequences,
+    redact_pii,
+    snapshot_corpus,
+    stratified_sample,
+    upsample_by_weight,
+)
 from data_pipeline_spark.operators.lww import lww_dedup, op_rank_expr  # noqa: F401
 from data_pipeline_spark.operators.merge import merge_changeset  # noqa: F401

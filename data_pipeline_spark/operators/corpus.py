@@ -91,9 +91,9 @@ def redact_pii(df: DataFrame, text_col: str = "text", counts: bool = False) -> D
 
     counts=True additionally emits `_redactions` = number of replacements
     per row (useful lineage), but it runs every pattern TWICE
-    (regexp_extract_all to count, then regexp_replace) — ~2× the regex CPU
-    on every document, measured +71% wall on a redaction-only pass over
-    sf0.1 documents (scripts/bench_corpus.py, BENCH/BASELINE.md §Redaction
+    (regexp_extract_all to count, then regexp_replace) — measured 1.99×
+    wall on a redaction-only pass over 200k PII-dense ~1KB docs at 16
+    cores (2.91 s → 5.78 s, medians of 3; BENCH/BASELINE.md §Redaction
     cost). A length-delta count would be single-pass but is unreliable
     (replacement tokens change lengths unpredictably), so counting stays
     exact and OPT-IN; the default is the single-pass scrub."""

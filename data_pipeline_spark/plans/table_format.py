@@ -2100,7 +2100,10 @@ class LakehouseTable:
 
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(
-        self, keep_last: int = 2, older_than_seconds: float | None = None
+        self,
+        keep_last: int = 2,
+        older_than_seconds: float | None = None,
+        orphan_grace_seconds: float = 0.0,
     ) -> dict:
         """Garbage-collect history: keep the newest `keep_last` snapshots,
         delete snapshot jsons and any data files no kept snapshot references
@@ -2123,7 +2126,18 @@ class LakehouseTable:
         staged changelog across it; GC'ing a middle staged snapshot would
         make the branch permanently unpublishable. Snapshots a branch
         abandoned via reset_branch/drop_branch are unreachable from any
-        ref and age out of the keep-last window like ordinary history."""
+        ref and age out of the keep-last window like ordinary history.
+
+        orphan_grace_seconds: an UNREFERENCED data file younger than this
+        is left alone (Iceberg's remove_orphan_files `older_than`, default
+        3 days there). An in-flight writer's files are unreferenced until
+        its commit lands — data under `data/.tmp-*` mid-write, or a
+        renamed `data/s<id>` dir in the instant before its metadata CAS —
+        so a maintenance job GC'ing concurrently with ingest must pass a
+        grace ≥ the longest plausible write+commit (minutes is plenty);
+        the 0.0 default preserves same-process semantics where the caller
+        KNOWS no write is in flight (tests, single-threaded maintenance
+        windows)."""
         cur = self.current_snapshot()
         all_snaps = sorted(
             int(f[len("snapshot-"):-len(".json")])
@@ -2168,12 +2182,22 @@ class LakehouseTable:
             live_files.update(e["path"] for e in self._files(kept))
 
         removed_files = 0
+        skipped_in_grace = 0
+        now = time.time()
         data_dir = os.path.join(self.path, "data")
         for root, _dirs, files in os.walk(data_dir, topdown=False):
             for f in files:
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path)
                 if f.endswith(".parquet") and rel not in live_files:
+                    if orphan_grace_seconds > 0:
+                        try:
+                            age = now - os.path.getmtime(full)
+                        except OSError:  # already gone (concurrent cleanup)
+                            continue
+                        if age < orphan_grace_seconds:
+                            skipped_in_grace += 1
+                            continue
                     os.remove(full)
                     removed_files += 1
             if not os.listdir(root) and root != data_dir:
@@ -2191,4 +2215,5 @@ class LakehouseTable:
                 self._manifest_cache.pop(fn, None)
                 removed_manifests += 1
         return {"kept": sorted(keep_ids), "removed_snapshots": removed_snaps,
-                "removed_files": removed_files, "removed_manifests": removed_manifests}
+                "removed_files": removed_files, "removed_manifests": removed_manifests,
+                "orphans_in_grace": skipped_in_grace}

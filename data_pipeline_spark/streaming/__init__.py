@@ -6,6 +6,11 @@ from data_pipeline_spark.streaming.cascade import (  # noqa: F401
     CascadeTarget,
     filter_replica_changes,
 )
+from data_pipeline_spark.streaming.corpus_view import (  # noqa: F401
+    CorpusViewJob,
+    export_corpus_delta,
+    touched_documents,
+)
 from data_pipeline_spark.streaming.ingest import IngestJob  # noqa: F401
 from data_pipeline_spark.streaming.wap import (  # noqa: F401
     AuditFailedError,

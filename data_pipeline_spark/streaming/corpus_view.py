@@ -37,6 +37,9 @@ SURVEY.md §2 K1/S4)."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,6 +47,37 @@ from pyspark.sql import types as T
 from data_pipeline_spark.operators.corpus import assemble_conversations, redact_pii
 from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.streaming.ingest import IngestJob
+
+
+def touched_documents(
+    spark: SparkSession,
+    upstream: LakehouseTable,
+    changed_ids: DataFrame,
+    max_turns: int | None = None,
+    high_churn_threshold: int = 100_000,
+) -> tuple[DataFrame, str]:
+    """Current document images of the touched conversations — the shared
+    core of every incremental corpus consumer (view refresh, delta export).
+
+    Two regimes, picked by ONE cheap count-distinct over the batch:
+    - churn ≤ high_churn_threshold (the design point — daily churn ≪
+      corpus): collect the id list and point-read it (bucket pruning +
+      manifest key-range skipping → O(churn) files touched);
+    - churn above the cap (initsync fallout, backfill, full overwrite):
+      semi-join the changed-ids frame against the upstream read — the id
+      set never lands on the driver, and the refresh degrades gracefully
+      into one distributed pass instead of a giant isin.
+
+    Returns (documents DataFrame, mode) where mode ∈ {"point", "semi_join"}."""
+    n_changed = changed_ids.count()
+    if n_changed <= high_churn_threshold:
+        mode = "point"
+        ids = [r["conv_id"] for r in changed_ids.collect()]
+        turns = upstream.read(spark, conv_ids=ids)
+    else:
+        mode = "semi_join"
+        turns = upstream.read(spark).join(changed_ids, "conv_id", "semi")
+    return assemble_conversations(turns, max_turns=max_turns), mode
 
 #: Schema of the documents view table. `turn_idx` is constant 0 — a
 #: document is one row per conversation, and pinning the second merge-key
@@ -108,25 +142,15 @@ class CorpusViewJob:
         change-event feed (U with the full image; D when every turn of the
         conversation is gone upstream).
 
-        Two regimes, picked by ONE cheap count-distinct over the batch:
-        - churn ≤ high_churn_threshold (the design point — daily churn ≪
-          corpus): collect the id list and point-read it (bucket pruning +
-          manifest key-range skipping → O(churn) files touched);
-        - churn above the cap (initsync fallout, backfill, full overwrite):
-          semi-join the changed-ids frame against the upstream read — the
-          id set never lands on the driver, and the refresh degrades
-          gracefully into one distributed pass instead of a giant isin."""
+        Point-read vs semi-join regime selection lives in
+        `touched_documents` (shared with the delta exporter)."""
         changed_ids = changed.select("conv_id").distinct()
-        n_changed = changed_ids.count()
         lsn = self.upstream.current_snapshot().get("watermark_lsn") or 0
-        if n_changed <= self.high_churn_threshold:
-            self.last_refresh_mode = "point"
-            ids = [r["conv_id"] for r in changed_ids.collect()]
-            turns = self.upstream.read(spark, conv_ids=ids)
-        else:
-            self.last_refresh_mode = "semi_join"
-            turns = self.upstream.read(spark).join(changed_ids, "conv_id", "semi")
-        docs = assemble_conversations(turns, max_turns=self.max_turns)
+        docs, self.last_refresh_mode = touched_documents(
+            spark, self.upstream, changed_ids,
+            max_turns=self.max_turns,
+            high_churn_threshold=self.high_churn_threshold,
+        )
         if self.redact:
             docs = redact_pii(docs, text_col="doc_text")
         upserts = docs.select(
@@ -237,3 +261,89 @@ class CorpusViewJob:
         up = self.upstream.current_snapshot().get("watermark_lsn") or 0
         down = self.job.table.current_snapshot().get("watermark_lsn") or 0
         return {"upstream_lsn": up, "view_lsn": down, "lag_lsns": up - down}
+
+
+def export_corpus_delta(
+    spark: SparkSession,
+    upstream_path: str,
+    out_dir: str,
+    cursor_path: str,
+    redact: bool = True,
+    min_turns: int = 1,
+    max_turns: int | None = None,
+    high_churn_threshold: int = 100_000,
+) -> dict:
+    """Incremental corpus EXPORT: ship only the documents whose
+    conversations changed since the last export — the continual-pretraining
+    delta. Where `snapshot_corpus` re-exports the whole corpus per training
+    run, this walks the published changelog with a durable cursor
+    (`tail_changes`, so it is WAP-safe like every cursor consumer) and
+    writes one self-describing delta per call under
+
+        out_dir/delta-<from_snapshot>-<to_snapshot>/
+            docs.parquet      (conv_id, doc_text, n_turns, n_chars) —
+                              the CURRENT images of touched conversations
+            deletes.parquet   (conv_id) — touched conversations whose
+                              document no longer exists (all turns deleted
+                              upstream, or now below min_turns)
+            _delta_manifest.json  lineage: snapshot range, watermark LSN,
+                              counts, operator settings, refresh mode
+
+    A consumer reconstructs the corpus at any exported point by folding
+    deltas in snapshot order: apply docs as upserts keyed by conv_id, drop
+    deletes. The first export (no cursor) is the full corpus as delta 0→head.
+
+    Exactly-once: the cursor commits only AFTER both parquet writes and the
+    manifest — a crash before the commit re-exports a window that COVERS
+    the lost one (same from-snapshot, possibly newer head; the partial dir
+    is abandoned and its range never appears in a committed manifest chain,
+    so folding committed deltas stays correct). Re-running the same window
+    overwrites the same directory deterministically.
+
+    Scale shape: per call the work is O(churn) — same point-read /
+    semi-join regime as the view refresh (`touched_documents`); the write
+    is repartitioned by conv_id for a deterministic layout."""
+    upstream = LakehouseTable(upstream_path)
+    prev = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            prev = json.load(f)["snapshot_id"]
+    chg, cursor = upstream.tail_changes(spark, cursor_path)
+    if chg is None:
+        return {"exported": False, "cursor": cursor}
+    to_id = cursor["snapshot_id"]
+    sub = os.path.join(out_dir, f"delta-{prev or 0:08d}-{to_id:08d}")
+    changed_ids = chg.select("conv_id").distinct()
+    docs, mode = touched_documents(
+        spark, upstream, changed_ids,
+        max_turns=max_turns, high_churn_threshold=high_churn_threshold,
+    )
+    if min_turns > 1:
+        docs = docs.where(F.col("n_turns") >= min_turns)
+    if redact:
+        docs = redact_pii(docs, text_col="doc_text")
+    docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sub, "docs.parquet"))
+    docs_written = spark.read.parquet(os.path.join(sub, "docs.parquet"))
+    deletes = changed_ids.join(docs_written.select("conv_id"), "conv_id", "left_anti")
+    deletes.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(sub, "deletes.parquet")
+    )
+    n_docs = docs_written.count()
+    n_deleted = spark.read.parquet(os.path.join(sub, "deletes.parquet")).count()
+    manifest = {
+        "source_table": os.path.abspath(upstream_path),
+        "from_snapshot": prev,
+        "to_snapshot": to_id,
+        "watermark_lsn": upstream.current_snapshot().get("watermark_lsn"),
+        "n_docs": n_docs,
+        "n_deleted": n_deleted,
+        "mode": mode,
+        "settings": {"redact": redact, "min_turns": min_turns,
+                     "max_turns": max_turns},
+    }
+    with open(os.path.join(sub, "_delta_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    LakehouseTable.commit_cursor(cursor_path, cursor)
+    return {"exported": True, "path": sub, "cursor": cursor, **manifest}

@@ -18,6 +18,8 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> reset-branch --name audit --snapshot-id 17
     python scripts/maintenance.py --table <path> drop-branch --name audit
     python scripts/maintenance.py --table <path> cherry-pick --snapshot-id 17
+    python scripts/maintenance.py --table <path> corpus-export --out /corpora/v1 --tag corpus-v1
+    python scripts/maintenance.py --table <path> corpus-delta --out /corpora/deltas --cursor /corpora/cursor.json
     python scripts/maintenance.py --table <path> --ref audit status
 
 `status`, `history`, `rewrite-manifests`, the tag commands and all branch
@@ -49,6 +51,25 @@ def main() -> None:
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--older-than-seconds", type=float, default=None,
                    help="also keep every snapshot committed within this window")
+    e.add_argument("--orphan-grace-seconds", type=float, default=0.0,
+                   help="spare unreferenced data files younger than this "
+                        "(pass >= write+commit time when GC runs beside a "
+                        "live writer)")
+    cd = sub.add_parser("corpus-delta",
+                        help="incremental corpus export of changed documents")
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--cursor", required=True)
+    cd.add_argument("--no-redact", action="store_true")
+    cd.add_argument("--min-turns", type=int, default=1)
+    cd.add_argument("--max-turns", type=int, default=None)
+    ce = sub.add_parser("corpus-export",
+                        help="full snapshot-pinned corpus export")
+    ce.add_argument("--out", required=True)
+    ce.add_argument("--snapshot-id", type=int, default=None)
+    ce.add_argument("--no-redact", action="store_true")
+    ce.add_argument("--min-turns", type=int, default=1)
+    ce.add_argument("--max-turns", type=int, default=None)
+    ce.add_argument("--tag", default=None)
     rb = sub.add_parser("rebucket")
     rb.add_argument("--n-buckets", type=int, required=True)
     ro = sub.add_parser("rollback")
@@ -158,6 +179,26 @@ def main() -> None:
             out = table.expire_snapshots(
                 keep_last=args.keep_last,
                 older_than_seconds=args.older_than_seconds,
+                orphan_grace_seconds=args.orphan_grace_seconds,
+            )
+        elif args.cmd == "corpus-delta":
+            from data_pipeline_spark.streaming.corpus_view import export_corpus_delta
+
+            out = export_corpus_delta(
+                spark, args.table, args.out, args.cursor,
+                redact=not args.no_redact, min_turns=args.min_turns,
+                max_turns=args.max_turns,
+            )
+            out = {k: v for k, v in out.items() if k != "cursor"} | {
+                "cursor": args.cursor
+            }
+        elif args.cmd == "corpus-export":
+            from data_pipeline_spark.operators.corpus import snapshot_corpus
+
+            out = snapshot_corpus(
+                spark, args.table, args.out, snapshot_id=args.snapshot_id,
+                redact=not args.no_redact, min_turns=args.min_turns,
+                max_turns=args.max_turns, tag=args.tag,
             )
         elif args.cmd == "rebucket":
             out = table.rebucket(spark, args.n_buckets)
