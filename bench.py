@@ -99,48 +99,63 @@ def _steal_ticks() -> int:
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
 
 
-def _query_loop(spark, names: list[str], repeats: int) -> dict[str, float]:
-    """One warm run + `repeats` timed runs per query; report the MEDIAN
-    (single-shot timings at sf0.1 carry 10-30% run-to-run noise from GC and
-    scheduler jitter — the r3 'uniform drift' was unresolvable from single
-    shots)."""
+def _query_pass(spark, names: list[str]) -> dict[str, float]:
+    """One single-shot timed pass over `names` (callers handle warmup and
+    aggregation across passes)."""
     from data_pipeline_spark import driver_queries
 
-    timings: dict[str, float] = {}
+    out: dict[str, float] = {}
     for name in names:
         fn = driver_queries.Q[name]
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
-        ts = []
-        for _ in range(repeats):
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            ts.append(time.monotonic() - t0)
-        timings[name] = round(sorted(ts)[len(ts) // 2], 3)
-    return timings
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        out[name] = time.monotonic() - t0
+    return out
 
 
 def run_queries() -> tuple[dict[str, float], dict, float]:
-    """Query phase: (1) the r1-pinned control subset in the FRESH session —
-    the same conditions the r1 numbers were recorded under — then (2) the
-    full current loop in the same JVM. Per-query drift = full/control for
-    the shared queries; both endpoints share warmup, GC and steal
-    conditions, so a ratio near 1 means the loop's growth (19 → 27 compiled
-    plan sets) costs nothing and any gap vs the RECORDED r1 numbers is an
-    endpoint artifact, not a regression."""
+    """Query phase: the r1-pinned control subset and the full current loop
+    measured as ALTERNATING passes in one JVM (order flips per repeat —
+    C,F / F,C / C,F ... — so neither arm systematically enjoys the warmer
+    session; a control-first-only design would bias drift toward ≤ 1.0,
+    the direction that flatters 'no regression'). Per-query value = median
+    over its arm's passes; drift = full/control per shared query. Both
+    arms share warmup, GC and steal conditions, so drift ≈ 1 means the
+    loop's growth (19 → 27 compiled plan sets) costs nothing and any gap
+    vs a RECORDED earlier round is an endpoint artifact, not a
+    regression. Single-shot timings at sf0.1 carry 10-30% run-to-run
+    noise from GC/scheduler jitter — hence medians (the r3 'uniform
+    drift' was unresolvable from single shots)."""
     from data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=CPUS)
     s0 = _steal_ticks()
-    control = _query_loop(spark, R1_CONTROL, QUERY_REPEATS)
-    timings = _query_loop(spark, BENCH_QUERIES, QUERY_REPEATS)
+    _query_pass(spark, BENCH_QUERIES)  # warm every plan once (both arms)
+    ctrl_runs: dict[str, list[float]] = {n: [] for n in R1_CONTROL}
+    full_runs: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for rep in range(QUERY_REPEATS):
+        arms = ("control", "full") if rep % 2 == 0 else ("full", "control")
+        for arm in arms:
+            if arm == "control":
+                for n, t in _query_pass(spark, R1_CONTROL).items():
+                    ctrl_runs[n].append(t)
+            else:
+                for n, t in _query_pass(spark, BENCH_QUERIES).items():
+                    full_runs[n].append(t)
     steal = round((_steal_ticks() - s0) / 100.0, 1)
     spark.stop()
+
+    def med(ts: list[float]) -> float:
+        return round(sorted(ts)[len(ts) // 2], 3)
+
+    control = {n: med(ts) for n, ts in ctrl_runs.items()}
+    timings = {n: med(ts) for n, ts in full_runs.items()}
     drift = {
-        n: round(timings[n] / control[n], 2)
+        n: (round(timings[n] / control[n], 2) if control[n] > 0 else None)
         for n in control
-        if control[n] > 0 and n in timings
+        if n in timings
     }
-    dvals = sorted(drift.values())
+    dvals = sorted(v for v in drift.values() if v is not None)
     ab = {
         "queries_r1_control": control,
         "query_drift_vs_control": drift,

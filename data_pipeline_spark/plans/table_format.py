@@ -2203,15 +2203,34 @@ class LakehouseTable:
             if not os.listdir(root) and root != data_dir:
                 os.rmdir(root)
 
+        def in_grace(p: str) -> bool:
+            # the grace must cover METADATA too: an in-flight commit's
+            # manifest (written before the snapshot json) and a committed-
+            # but-not-yet-hint-swung snapshot json are both unreferenced
+            # from this process's view for an instant — deleting either
+            # destroys the concurrent commit (unreadable table), which is
+            # exactly what the grace exists to prevent
+            if orphan_grace_seconds <= 0:
+                return False
+            try:
+                return (now - os.path.getmtime(p)) < orphan_grace_seconds
+            except OSError:  # already gone (concurrent cleanup)
+                return True
+
         removed_snaps = 0
         for sid in all_snaps:
-            if sid not in keep_ids:
-                os.remove(os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
+            p = os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json")
+            if sid not in keep_ids and not in_grace(p):
+                os.remove(p)
                 removed_snaps += 1
         removed_manifests = 0
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("manifest-") and fn.endswith(".json") and fn not in live_manifests:
-                os.remove(os.path.join(self.meta_dir, fn))
+                p = os.path.join(self.meta_dir, fn)
+                if in_grace(p):
+                    skipped_in_grace += 1
+                    continue
+                os.remove(p)
                 self._manifest_cache.pop(fn, None)
                 removed_manifests += 1
         return {"kept": sorted(keep_ids), "removed_snapshots": removed_snaps,

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,7 @@ def touched_documents(
     changed_ids: DataFrame,
     max_turns: int | None = None,
     high_churn_threshold: int = 100_000,
+    snapshot_id: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Current document images of the touched conversations — the shared
     core of every incremental corpus consumer (view refresh, delta export).
@@ -68,15 +70,28 @@ def touched_documents(
       set never lands on the driver, and the refresh degrades gracefully
       into one distributed pass instead of a giant isin.
 
-    Returns (documents DataFrame, mode) where mode ∈ {"point", "semi_join"}."""
-    n_changed = changed_ids.count()
-    if n_changed <= high_churn_threshold:
+    snapshot_id: pin the upstream read (time travel) so the emitted images
+    are a pure function of (upstream, snapshot_id) even while ingest keeps
+    committing — the exporter pins its cursor window's head; the view
+    refresh pins the snapshot whose watermark LSN it stamps on the images.
+
+    Returns (documents DataFrame, mode) where mode ∈ {"point", "semi_join"}.
+
+    ONE Spark action decides the regime AND fetches the point-path id list:
+    limit(threshold+1).collect() stops scanning as soon as the cap is
+    exceeded, and when it isn't, the collected rows ARE the complete id
+    set (no separate count + collect re-derivation of the changelog)."""
+    rows = changed_ids.limit(high_churn_threshold + 1).collect()
+    if len(rows) <= high_churn_threshold:
         mode = "point"
-        ids = [r["conv_id"] for r in changed_ids.collect()]
-        turns = upstream.read(spark, conv_ids=ids)
+        turns = upstream.read(
+            spark, snapshot_id=snapshot_id, conv_ids=[r["conv_id"] for r in rows]
+        )
     else:
         mode = "semi_join"
-        turns = upstream.read(spark).join(changed_ids, "conv_id", "semi")
+        turns = upstream.read(spark, snapshot_id=snapshot_id).join(
+            changed_ids, "conv_id", "semi"
+        )
     return assemble_conversations(turns, max_turns=max_turns), mode
 
 #: Schema of the documents view table. `turn_idx` is constant 0 — a
@@ -143,13 +158,18 @@ class CorpusViewJob:
         conversation is gone upstream).
 
         Point-read vs semi-join regime selection lives in
-        `touched_documents` (shared with the delta exporter)."""
+        `touched_documents` (shared with the delta exporter). The read is
+        PINNED to the snapshot whose watermark LSN the images are stamped
+        with, so image and lsn can never disagree under concurrent ingest
+        (a later refresh re-derives newer images under a higher lsn)."""
         changed_ids = changed.select("conv_id").distinct()
-        lsn = self.upstream.current_snapshot().get("watermark_lsn") or 0
+        snap = self.upstream.current_snapshot()
+        lsn = snap.get("watermark_lsn") or 0
         docs, self.last_refresh_mode = touched_documents(
             spark, self.upstream, changed_ids,
             max_turns=self.max_turns,
             high_churn_threshold=self.high_churn_threshold,
+            snapshot_id=snap["snapshot_id"],
         )
         if self.redact:
             docs = redact_pii(docs, text_col="doc_text")
@@ -290,15 +310,31 @@ def export_corpus_delta(
                               counts, operator settings, refresh mode
 
     A consumer reconstructs the corpus at any exported point by folding
-    deltas in snapshot order: apply docs as upserts keyed by conv_id, drop
-    deletes. The first export (no cursor) is the full corpus as delta 0→head.
+    the committed delta chain (`list_corpus_deltas`) in order: apply docs
+    as upserts keyed by conv_id, drop deletes.
 
-    Exactly-once: the cursor commits only AFTER both parquet writes and the
-    manifest — a crash before the commit re-exports a window that COVERS
-    the lost one (same from-snapshot, possibly newer head; the partial dir
-    is abandoned and its range never appears in a committed manifest chain,
-    so folding committed deltas stays correct). Re-running the same window
-    overwrites the same directory deterministically.
+    Bootstrap: the FIRST export (no cursor file) is a FULL corpus export at
+    the current published head — never a changelog walk, because
+    `tail_changes` with no cursor starts at the oldest RETAINED snapshot
+    and the base rows folded into it by earlier `expire_snapshots` calls
+    would be silently missing from a changelog-derived first delta.
+    Recovery from `CursorExpiredError` (the exporter was down past upstream
+    retention) is the same move: delete the cursor file — the next call
+    re-bootstraps a full export that covers everything, and the chain walk
+    in `list_corpus_deltas` starts from the newest bootstrap.
+
+    Crash protocol (three commit points, in order):
+    1. docs.parquet + deletes.parquet written (pinned to the window's head
+       snapshot — the export is a pure function of (upstream, from, to));
+    2. _delta_manifest.json written LAST inside the dir via tmp+rename —
+       its presence marks the dir COMPLETE; dirs without it are skipped by
+       `list_corpus_deltas`;
+    3. cursor commit. A crash between 2 and 3 leaves a complete-looking
+       dir whose window the retry will re-export with a newer head — safe,
+       because the wider window from the same from-snapshot re-ships every
+       conversation the narrower one touched (chain walk prefers the
+       widest window per from-snapshot), and the successful retry also
+       garbage-collects such abandoned siblings.
 
     Scale shape: per call the work is O(churn) — same point-read /
     semi-join regime as the view refresh (`touched_documents`); the write
@@ -308,16 +344,28 @@ def export_corpus_delta(
     if os.path.exists(cursor_path):
         with open(cursor_path) as f:
             prev = json.load(f)["snapshot_id"]
-    chg, cursor = upstream.tail_changes(spark, cursor_path)
-    if chg is None:
-        return {"exported": False, "cursor": cursor}
-    to_id = cursor["snapshot_id"]
+
+    if prev is None:
+        # bootstrap: the full corpus at the published head, as delta 0→head
+        to_id = upstream.current_snapshot()["snapshot_id"]
+        cursor = {"snapshot_id": to_id}
+        mode = "bootstrap"
+        docs = assemble_conversations(
+            upstream.read(spark, snapshot_id=to_id), max_turns=max_turns
+        )
+        changed_ids = None
+    else:
+        chg, cursor = upstream.tail_changes(spark, cursor_path)
+        if chg is None:
+            return {"exported": False, "cursor": cursor}
+        to_id = cursor["snapshot_id"]
+        changed_ids = chg.select("conv_id").distinct()
+        docs, mode = touched_documents(
+            spark, upstream, changed_ids,
+            max_turns=max_turns, high_churn_threshold=high_churn_threshold,
+            snapshot_id=to_id,
+        )
     sub = os.path.join(out_dir, f"delta-{prev or 0:08d}-{to_id:08d}")
-    changed_ids = chg.select("conv_id").distinct()
-    docs, mode = touched_documents(
-        spark, upstream, changed_ids,
-        max_turns=max_turns, high_churn_threshold=high_churn_threshold,
-    )
     if min_turns > 1:
         docs = docs.where(F.col("n_turns") >= min_turns)
     if redact:
@@ -326,7 +374,12 @@ def export_corpus_delta(
         "overwrite"
     ).parquet(os.path.join(sub, "docs.parquet"))
     docs_written = spark.read.parquet(os.path.join(sub, "docs.parquet"))
-    deletes = changed_ids.join(docs_written.select("conv_id"), "conv_id", "left_anti")
+    if changed_ids is None:  # bootstrap: nothing can be deleted yet
+        deletes = spark.createDataFrame([], "conv_id string")
+    else:
+        deletes = changed_ids.join(
+            docs_written.select("conv_id"), "conv_id", "left_anti"
+        )
     deletes.repartition(1).write.mode("overwrite").parquet(
         os.path.join(sub, "deletes.parquet")
     )
@@ -336,14 +389,60 @@ def export_corpus_delta(
         "source_table": os.path.abspath(upstream_path),
         "from_snapshot": prev,
         "to_snapshot": to_id,
-        "watermark_lsn": upstream.current_snapshot().get("watermark_lsn"),
+        "watermark_lsn": upstream.snapshot_by_id(to_id).get("watermark_lsn"),
         "n_docs": n_docs,
         "n_deleted": n_deleted,
         "mode": mode,
         "settings": {"redact": redact, "min_turns": min_turns,
                      "max_turns": max_turns},
     }
-    with open(os.path.join(sub, "_delta_manifest.json"), "w") as f:
+    # manifest last, atomically: its presence IS the dir's completion marker
+    mpath = os.path.join(sub, "_delta_manifest.json")
+    with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
     LakehouseTable.commit_cursor(cursor_path, cursor)
+    # reclaim abandoned pre-crash siblings: narrower windows from the same
+    # from-snapshot are fully covered by this one
+    prefix = f"delta-{prev or 0:08d}-"
+    for d in os.listdir(out_dir):
+        if d.startswith(prefix) and d != os.path.basename(sub):
+            try:
+                if int(d.rsplit("-", 1)[1]) < to_id:
+                    shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            except ValueError:
+                continue
     return {"exported": True, "path": sub, "cursor": cursor, **manifest}
+
+
+def list_corpus_deltas(out_dir: str) -> list[dict]:
+    """Discover the COMMITTED delta chain under `out_dir`, in fold order.
+
+    Only dirs carrying `_delta_manifest.json` count (the manifest is
+    written last, atomically — a dir without one is an incomplete export).
+    The walk starts at the newest bootstrap (widest `to_snapshot` among
+    `from_snapshot is None` entries — a re-bootstrap after cursor expiry
+    supersedes any older chain, full export covers everything) and follows
+    `from_snapshot == previous to_snapshot` links, preferring the WIDEST
+    window when a crashed export left an abandoned narrower sibling (the
+    wider window re-ships every conversation the narrower touched, so it
+    covers it). Returns each manifest dict with its `path` added."""
+    found: list[dict] = []
+    if not os.path.isdir(out_dir):
+        return found
+    for d in sorted(os.listdir(out_dir)):
+        mpath = os.path.join(out_dir, d, "_delta_manifest.json")
+        if d.startswith("delta-") and os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            m["path"] = os.path.join(out_dir, d)
+            found.append(m)
+    boots = [m for m in found if m["from_snapshot"] is None]
+    if not boots:
+        return []
+    chain = [max(boots, key=lambda m: m["to_snapshot"])]
+    while True:
+        nxt = [m for m in found if m["from_snapshot"] == chain[-1]["to_snapshot"]]
+        if not nxt:
+            return chain
+        chain.append(max(nxt, key=lambda m: m["to_snapshot"]))

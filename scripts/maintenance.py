@@ -184,6 +184,11 @@ def main() -> None:
         elif args.cmd == "corpus-delta":
             from data_pipeline_spark.streaming.corpus_view import export_corpus_delta
 
+            if args.ref:
+                # the delta cursor walks the PUBLISHED main chain; a branch
+                # delta-export would silently diverge from what publishes
+                sys.exit("corpus-delta operates on the published main chain; "
+                         "--ref is not supported (publish the branch first)")
             out = export_corpus_delta(
                 spark, args.table, args.out, args.cursor,
                 redact=not args.no_redact, min_turns=args.min_turns,
@@ -195,8 +200,13 @@ def main() -> None:
         elif args.cmd == "corpus-export":
             from data_pipeline_spark.operators.corpus import snapshot_corpus
 
+            snapshot_id = args.snapshot_id
+            if args.ref and snapshot_id is None:
+                # snapshot ids are table-global, so exporting a branch head
+                # is just a pin to that head's id (read + tag both honor it)
+                snapshot_id = table.current_snapshot()["snapshot_id"]
             out = snapshot_corpus(
-                spark, args.table, args.out, snapshot_id=args.snapshot_id,
+                spark, args.table, args.out, snapshot_id=snapshot_id,
                 redact=not args.no_redact, min_turns=args.min_turns,
                 max_turns=args.max_turns, tag=args.tag,
             )

@@ -65,6 +65,31 @@ def test_orphan_grace_spares_young_unreferenced_files(spark, tmp_path):
     assert LakehouseTable(t).read(spark).count() == before
 
 
+def test_grace_covers_metadata_too(spark, tmp_path):
+    """Review finding: the grace must spare an in-flight commit's MANIFEST
+    (written before its snapshot json) — deleting it would leave the
+    landed commit permanently unreadable."""
+    t = str(tmp_path / "t")
+    LakehouseTable(t).create(TRANSCRIPT_SCHEMA, n_buckets=2, compact_every=10**9)
+    job = IngestJob(t, str(tmp_path / "ctl"))
+    _apply(spark, job, t, 0, seed=935)
+    meta = LakehouseTable(t).meta_dir
+
+    inflight = os.path.join(meta, "manifest-99999999-deadbeef.json")
+    with open(inflight, "w") as f:
+        f.write("[]")
+    res = LakehouseTable(t).expire_snapshots(
+        keep_last=100, orphan_grace_seconds=600
+    )
+    assert os.path.exists(inflight), "young unreferenced manifest must survive"
+    assert res["orphans_in_grace"] >= 1
+
+    old = time.time() - 7200
+    os.utime(inflight, (old, old))
+    LakehouseTable(t).expire_snapshots(keep_last=100, orphan_grace_seconds=600)
+    assert not os.path.exists(inflight)
+
+
 def test_default_grace_zero_preserves_r3_semantics(spark, tmp_path):
     t = str(tmp_path / "t")
     LakehouseTable(t).create(TRANSCRIPT_SCHEMA, n_buckets=2, compact_every=10**9)
