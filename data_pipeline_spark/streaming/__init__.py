@@ -9,6 +9,8 @@ from data_pipeline_spark.streaming.cascade import (  # noqa: F401
 from data_pipeline_spark.streaming.corpus_view import (  # noqa: F401
     CorpusViewJob,
     export_corpus_delta,
+    list_corpus_deltas,
+    read_corpus_deltas,
     touched_documents,
 )
 from data_pipeline_spark.streaming.ingest import IngestJob  # noqa: F401

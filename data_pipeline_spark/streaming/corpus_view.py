@@ -446,3 +446,52 @@ def list_corpus_deltas(out_dir: str) -> list[dict]:
         if not nxt:
             return chain
         chain.append(max(nxt, key=lambda m: m["to_snapshot"]))
+
+
+def read_corpus_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Distributed consumer of the delta chain: reconstruct the corpus at
+    the chain head as ONE DataFrame — the Spark-side equivalent of folding
+    `list_corpus_deltas` by hand, for consumers whose corpus doesn't fit a
+    driver (the 100-TB path).
+
+    Plan shape: every delta's docs and deletes are unioned with their chain
+    position, then ONE max-of-struct hash aggregate per conv_id keeps the
+    latest event (map-side combinable — the same collapse the ingest path
+    uses instead of a window); rows whose latest event is a delete drop
+    out. One shuffle total, regardless of chain length; parquet scans are
+    pruned to the needed columns. Chain-position ordering is total (the
+    walk is a linear chain), so the fold is exact, not heuristic."""
+    chain = list_corpus_deltas(out_dir)
+    if not chain:
+        raise FileNotFoundError(f"no committed corpus deltas under {out_dir}")
+    parts = []
+    for pos, m in enumerate(chain):
+        docs = spark.read.parquet(os.path.join(m["path"], "docs.parquet"))
+        parts.append(
+            docs.select(
+                "conv_id",
+                F.lit(pos).alias("_pos"),
+                F.lit(False).alias("_deleted"),
+                F.struct(*[c for c in docs.columns if c != "conv_id"]).alias("_doc"),
+            )
+        )
+        dels = spark.read.parquet(os.path.join(m["path"], "deletes.parquet"))
+        if pos > 0:  # bootstrap deletes are empty by construction
+            parts.append(
+                dels.select(
+                    "conv_id",
+                    F.lit(pos).alias("_pos"),
+                    F.lit(True).alias("_deleted"),
+                    F.lit(None).cast(parts[0].schema["_doc"].dataType).alias("_doc"),
+                )
+            )
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    latest = events.groupBy("conv_id").agg(
+        F.max(F.struct("_pos", "_deleted", "_doc")).alias("_last")
+    )
+    return (
+        latest.where(~F.col("_last._deleted"))
+        .select("conv_id", "_last._doc.*")
+    )

@@ -24,6 +24,7 @@ from data_pipeline_spark.sources.feed import FeedSpec, generate_feed_pandas
 from data_pipeline_spark.streaming.corpus_view import (
     export_corpus_delta,
     list_corpus_deltas,
+    read_corpus_deltas,
 )
 from data_pipeline_spark.streaming.ingest import IngestJob
 
@@ -118,6 +119,17 @@ def test_delta_chain_reconstructs_corpus(spark, tmp_path):
     assert m2["from_snapshot"] == m1["to_snapshot"]
     assert m2["n_docs"] == len(delta_docs) and m2["n_deleted"] == len(delta_dels)
     assert [m["path"] for m in list_corpus_deltas(out)] == [r1["path"], r2["path"]]
+
+    # the distributed chain reader (one max-of-struct aggregate) equals the
+    # pandas fold exactly
+    spark_fold = (
+        read_corpus_deltas(spark, out)
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_fold[sorted(spark_fold.columns)],
+        _fold_chain(out)[sorted(spark_fold.columns)],
+    )
 
 
 def test_bootstrap_after_history_expiry_is_complete(spark, tmp_path):
