@@ -2174,34 +2174,8 @@ class LakehouseTable:
                     s = self.snapshot_by_id(pid)
                 except FileNotFoundError:
                     break
-        live_files: set[str] = set()
-        live_manifests: set[str] = set()
-        for sid in keep_ids:
-            kept = self.snapshot_by_id(sid)
-            live_manifests.update(m["name"] for m in kept.get("manifests", []))
-            live_files.update(e["path"] for e in self._files(kept))
-
-        removed_files = 0
-        skipped_in_grace = 0
         now = time.time()
-        data_dir = os.path.join(self.path, "data")
-        for root, _dirs, files in os.walk(data_dir, topdown=False):
-            for f in files:
-                full = os.path.join(root, f)
-                rel = os.path.relpath(full, self.path)
-                if f.endswith(".parquet") and rel not in live_files:
-                    if orphan_grace_seconds > 0:
-                        try:
-                            age = now - os.path.getmtime(full)
-                        except OSError:  # already gone (concurrent cleanup)
-                            continue
-                        if age < orphan_grace_seconds:
-                            skipped_in_grace += 1
-                            continue
-                    os.remove(full)
-                    removed_files += 1
-            if not os.listdir(root) and root != data_dir:
-                os.rmdir(root)
+        skipped_in_grace = 0
 
         def in_grace(p: str) -> bool:
             # the grace must cover METADATA too: an in-flight commit's
@@ -2217,12 +2191,54 @@ class LakehouseTable:
             except OSError:  # already gone (concurrent cleanup)
                 return True
 
+        # Per-COMMIT protection, not just per-file: a snapshot json inside
+        # the grace window pulls its WHOLE reference closure (manifests +
+        # data files) into the live sets — a stalled writer's data files
+        # can be arbitrarily older than its snapshot json (long write, GC
+        # pause), so judging each file by its own mtime would let one
+        # expire run keep the snapshot while deleting what it references.
+        # The spared snapshot itself stays expire-ELIGIBLE (not in
+        # keep_ids): once it ages past the grace it expires normally.
+        spared_snaps = [
+            sid for sid in all_snaps
+            if sid not in keep_ids
+            and in_grace(os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
+        ]
+        live_files: set[str] = set()
+        live_manifests: set[str] = set()
+        for sid in list(keep_ids) + spared_snaps:
+            kept = self.snapshot_by_id(sid)
+            live_manifests.update(m["name"] for m in kept.get("manifests", []))
+            live_files.update(e["path"] for e in self._files(kept))
+
+        removed_files = 0
+        data_dir = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(data_dir, topdown=False):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if f.endswith(".parquet") and rel not in live_files:
+                    if in_grace(full):
+                        skipped_in_grace += 1
+                        continue
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:  # concurrent cleanup
+                        continue
+                    removed_files += 1
+            if not os.listdir(root) and root != data_dir:
+                os.rmdir(root)
+
         removed_snaps = 0
+        spared = set(spared_snaps)
         for sid in all_snaps:
-            p = os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json")
-            if sid not in keep_ids and not in_grace(p):
-                os.remove(p)
-                removed_snaps += 1
+            if sid in keep_ids:
+                continue
+            if sid in spared:
+                skipped_in_grace += 1
+                continue
+            os.remove(os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
+            removed_snaps += 1
         removed_manifests = 0
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("manifest-") and fn.endswith(".json") and fn not in live_manifests:

@@ -61,14 +61,14 @@ def touched_documents(
     """Current document images of the touched conversations — the shared
     core of every incremental corpus consumer (view refresh, delta export).
 
-    Two regimes, picked by ONE cheap count-distinct over the batch:
+    Two regimes, picked by ONE bounded count over the batch:
     - churn ≤ high_churn_threshold (the design point — daily churn ≪
       corpus): collect the id list and point-read it (bucket pruning +
       manifest key-range skipping → O(churn) files touched);
     - churn above the cap (initsync fallout, backfill, full overwrite):
-      semi-join the changed-ids frame against the upstream read — the id
-      set never lands on the driver, and the refresh degrades gracefully
-      into one distributed pass instead of a giant isin.
+      semi-join the changed-ids frame against the upstream read — no id
+      ever lands on the driver, and the refresh degrades gracefully into
+      one distributed pass instead of a giant isin.
 
     snapshot_id: pin the upstream read (time travel) so the emitted images
     are a pure function of (upstream, snapshot_id) even while ingest keeps
@@ -77,16 +77,15 @@ def touched_documents(
 
     Returns (documents DataFrame, mode) where mode ∈ {"point", "semi_join"}.
 
-    ONE Spark action decides the regime AND fetches the point-path id list:
-    limit(threshold+1).collect() stops scanning as soon as the cap is
-    exceeded, and when it isn't, the collected rows ARE the complete id
-    set (no separate count + collect re-derivation of the changelog)."""
-    rows = changed_ids.limit(high_churn_threshold + 1).collect()
-    if len(rows) <= high_churn_threshold:
+    The regime is decided by one BOUNDED count (limit(threshold+1).count()
+    — early-exits the scan at the cap, ships only a number to the driver);
+    the point path then collects its ≤ threshold ids, and the high-churn
+    path never lands a single id on the driver."""
+    n = changed_ids.limit(high_churn_threshold + 1).count()
+    if n <= high_churn_threshold:
         mode = "point"
-        turns = upstream.read(
-            spark, snapshot_id=snapshot_id, conv_ids=[r["conv_id"] for r in rows]
-        )
+        ids = [r["conv_id"] for r in changed_ids.collect()]
+        turns = upstream.read(spark, snapshot_id=snapshot_id, conv_ids=ids)
     else:
         mode = "semi_join"
         turns = upstream.read(spark, snapshot_id=snapshot_id).join(
@@ -365,7 +364,12 @@ def export_corpus_delta(
             max_turns=max_turns, high_churn_threshold=high_churn_threshold,
             snapshot_id=to_id,
         )
-    sub = os.path.join(out_dir, f"delta-{prev or 0:08d}-{to_id:08d}")
+    # a bootstrap's dir gets its own prefix: `prev or 0` would collide with
+    # a REAL from_snapshot=0 window (create() writes snapshot 0, so an
+    # exporter set up before first ingest bootstraps AT 0) — and the
+    # sibling-GC below would then delete the committed bootstrap itself
+    from_key = "bootstrap" if prev is None else f"{prev:08d}"
+    sub = os.path.join(out_dir, f"delta-{from_key}-{to_id:08d}")
     if min_turns > 1:
         docs = docs.where(F.col("n_turns") >= min_turns)
     if redact:
@@ -403,8 +407,8 @@ def export_corpus_delta(
     os.replace(mpath + ".tmp", mpath)
     LakehouseTable.commit_cursor(cursor_path, cursor)
     # reclaim abandoned pre-crash siblings: narrower windows from the same
-    # from-snapshot are fully covered by this one
-    prefix = f"delta-{prev or 0:08d}-"
+    # from-snapshot (or older bootstraps) are fully covered by this one
+    prefix = f"delta-{from_key}-"
     for d in os.listdir(out_dir):
         if d.startswith(prefix) and d != os.path.basename(sub):
             try:
@@ -431,12 +435,19 @@ def list_corpus_deltas(out_dir: str) -> list[dict]:
     if not os.path.isdir(out_dir):
         return found
     for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("delta-"):
+            continue
         mpath = os.path.join(out_dir, d, "_delta_manifest.json")
-        if d.startswith("delta-") and os.path.exists(mpath):
+        try:
             with open(mpath) as f:
                 m = json.load(f)
-            m["path"] = os.path.join(out_dir, d)
-            found.append(m)
+        except FileNotFoundError:
+            # no manifest = incomplete export; or a concurrent exporter
+            # just GC'd an abandoned sibling between listdir and open —
+            # either way the dir is not part of the committed chain
+            continue
+        m["path"] = os.path.join(out_dir, d)
+        found.append(m)
     boots = [m for m in found if m["from_snapshot"] is None]
     if not boots:
         return []
@@ -475,16 +486,20 @@ def read_corpus_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
                 F.struct(*[c for c in docs.columns if c != "conv_id"]).alias("_doc"),
             )
         )
+        # read EVERY delta's deletes, including position 0: a current-code
+        # bootstrap writes an empty file (costs one footer read), but a
+        # chain whose first window predates the bootstrap protocol can
+        # carry real tombstones there — skipping them would resurrect
+        # deleted conversations
         dels = spark.read.parquet(os.path.join(m["path"], "deletes.parquet"))
-        if pos > 0:  # bootstrap deletes are empty by construction
-            parts.append(
-                dels.select(
-                    "conv_id",
-                    F.lit(pos).alias("_pos"),
-                    F.lit(True).alias("_deleted"),
-                    F.lit(None).cast(parts[0].schema["_doc"].dataType).alias("_doc"),
-                )
+        parts.append(
+            dels.select(
+                "conv_id",
+                F.lit(pos).alias("_pos"),
+                F.lit(True).alias("_deleted"),
+                F.lit(None).cast(parts[0].schema["_doc"].dataType).alias("_doc"),
             )
+        )
     events = parts[0]
     for p in parts[1:]:
         events = events.unionByName(p)

@@ -205,6 +205,32 @@ def test_crash_before_cursor_commit_converges(spark, tmp_path):
     assert export_corpus_delta(spark, up, out, cursor)["exported"] is False
 
 
+def test_bootstrap_at_snapshot_zero_survives_next_export(spark, tmp_path):
+    """Review finding: `create()` writes snapshot 0, so an exporter set up
+    BEFORE first ingest bootstraps at snapshot 0 — the next incremental
+    export (from_snapshot=0) must not garbage-collect the committed
+    bootstrap as an 'abandoned sibling' (the old dir naming collided:
+    bootstrap None and real from=0 both rendered as 00000000)."""
+    up = str(tmp_path / "up")
+    LakehouseTable(up).create(TRANSCRIPT_SCHEMA, n_buckets=4, compact_every=10**9)
+    out = str(tmp_path / "corpus-deltas")
+    cursor = str(tmp_path / "cursor.json")
+
+    r1 = export_corpus_delta(spark, up, out, cursor, redact=False)
+    assert r1["mode"] == "bootstrap" and r1["to_snapshot"] == 0
+    assert r1["n_docs"] == 0  # empty table, but the chain anchor exists
+
+    ingest = IngestJob(up, str(tmp_path / "ctl"))
+    _apply(spark, ingest, up, 0, generate_feed_pandas(
+        FeedSpec(n_events=300, n_convs=15, seed=970)
+    ))
+    r2 = export_corpus_delta(spark, up, out, cursor, redact=False)
+    assert r2["from_snapshot"] == 0
+    assert os.path.exists(r1["path"]), "bootstrap dir must survive the GC"
+    assert [m["path"] for m in list_corpus_deltas(out)] == [r1["path"], r2["path"]]
+    pd.testing.assert_frame_equal(_fold_chain(out), _oracle(spark, up))
+
+
 def test_incomplete_dir_without_manifest_is_skipped(spark, tmp_path):
     up = str(tmp_path / "up")
     LakehouseTable(up).create(TRANSCRIPT_SCHEMA, n_buckets=4, compact_every=10**9)

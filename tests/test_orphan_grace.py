@@ -90,6 +90,44 @@ def test_grace_covers_metadata_too(spark, tmp_path):
     assert not os.path.exists(inflight)
 
 
+def test_grace_protects_spared_snapshots_whole_closure(spark, tmp_path):
+    """Review finding: the grace must be per-COMMIT, not per-file — a
+    stalled writer's data files and manifests can be arbitrarily older
+    than its snapshot json, so a young (in-grace) snapshot must pull its
+    whole reference closure into the live sets, or one expire run keeps
+    the snapshot while deleting what it references."""
+    t = str(tmp_path / "t")
+    LakehouseTable(t).create(TRANSCRIPT_SCHEMA, n_buckets=2, compact_every=10**9)
+    job = IngestJob(t, str(tmp_path / "ctl"))
+    for b in range(3):
+        _apply(spark, job, t, b, seed=936 + b)
+    tbl = LakehouseTable(t)
+    expired_sid = tbl.history()[1]["snapshot_id"]  # will fall out of keep_last=1
+    expired_rows = tbl.read(spark, snapshot_id=expired_sid).count()
+
+    # age every data file and manifest far past the grace; snapshot jsons
+    # stay young (the stalled-writer shape)
+    old = time.time() - 7200
+    for root, _dirs, files in os.walk(os.path.join(t, "data")):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    for f in os.listdir(tbl.meta_dir):
+        if f.startswith("manifest-"):
+            os.utime(os.path.join(tbl.meta_dir, f), (old, old))
+
+    res = tbl.expire_snapshots(keep_last=1, orphan_grace_seconds=600)
+    assert res["removed_snapshots"] == 0 and res["orphans_in_grace"] >= 1
+    # the spared snapshot's whole closure survived: it is still READABLE
+    assert LakehouseTable(t).read(spark, snapshot_id=expired_sid).count() == expired_rows
+
+    # grace elapsed for the snapshot json too → the commit expires whole
+    for f in os.listdir(tbl.meta_dir):
+        if f.startswith("snapshot-"):
+            os.utime(os.path.join(tbl.meta_dir, f), (old, old))
+    res2 = LakehouseTable(t).expire_snapshots(keep_last=1, orphan_grace_seconds=600)
+    assert res2["removed_snapshots"] >= 1
+
+
 def test_default_grace_zero_preserves_r3_semantics(spark, tmp_path):
     t = str(tmp_path / "t")
     LakehouseTable(t).create(TRANSCRIPT_SCHEMA, n_buckets=2, compact_every=10**9)
