@@ -81,7 +81,11 @@ def touched_documents(
     — early-exits the scan at the cap, ships only a number to the driver);
     the point path then collects its ≤ threshold ids, and the high-churn
     path never lands a single id on the driver."""
-    n = changed_ids.limit(high_churn_threshold + 1).count()
+    # limit() takes a JVM int; a "never semi-join" threshold (maxsize) must
+    # not overflow it — capping the probe at int32-max is semantically
+    # identical (n can never exceed it AND the threshold)
+    probe = min(high_churn_threshold + 1, 2**31 - 1)
+    n = changed_ids.limit(probe).count()
     if n <= high_churn_threshold:
         mode = "point"
         ids = [r["conv_id"] for r in changed_ids.collect()]

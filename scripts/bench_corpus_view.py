@@ -144,6 +144,29 @@ def main() -> None:
         refresh_sec = time.monotonic() - t0
         assert vj.lag()["lag_lsns"] == 0
 
+        # ---- phase 3b: high-churn A/B — point read vs semi-join when the
+        # batch touches 100% of conversations (backfill / post-initsync
+        # shape). Same refresh work through both regimes, timed: the
+        # collected-isin point read must lose to the distributed semi-join
+        # once churn ~ corpus — the crossover that motivates
+        # high_churn_threshold.
+        all_ids = (
+            LakehouseTable(up).read(spark).select("conv_id").distinct()
+        )
+        highchurn_ab = {}
+        for label, threshold, bid in (
+            ("point_100pct_sec", 2**31 - 2, 10**6 + 2),
+            ("semi_join_100pct_sec", 0, 10**6 + 3),
+        ):
+            vj_ab = CorpusViewJob(
+                up, view, os.path.join(root, "ctl-view"),
+                high_churn_threshold=threshold,
+            )
+            t0 = time.monotonic()
+            vj_ab.refresh_for(spark, bid, all_ids)
+            highchurn_ab[label] = round(time.monotonic() - t0, 1)
+            highchurn_ab[label.replace("_sec", "_mode")] = vj_ab.last_refresh_mode
+
         # ---- phase 4: the no-view baseline — full corpus rebuild ---------
         rebuild_out = os.path.join(root, "rebuild")
         t0 = time.monotonic()
@@ -193,6 +216,7 @@ def main() -> None:
                     "rebuild_over_refresh": round(rebuild_sec / refresh_sec, 2),
                     "churn_fraction": round(args.churn_convs / n_convs, 4),
                     "view_equals_rebuild": bool(view_dig == oracle_dig),
+                    **highchurn_ab,
                 }
             )
         )
