@@ -2226,8 +2226,18 @@ class LakehouseTable:
                     except FileNotFoundError:  # concurrent cleanup
                         continue
                     removed_files += 1
-            if not os.listdir(root) and root != data_dir:
-                os.rmdir(root)
+            # empty-dir sweep honors the grace too: a concurrent writer
+            # mkdirs its output tree BEFORE any file lands in it, and
+            # rmdir'ing that young empty dir makes the writer's own mkdirs/
+            # setPermission fail mid-write (reproduced live in
+            # test_gc_races_ingest.py) — a young empty dir is an in-flight
+            # write, not garbage
+            if root != data_dir and not in_grace(root):
+                try:
+                    if not os.listdir(root):
+                        os.rmdir(root)
+                except OSError:  # vanished or refilled concurrently
+                    pass
 
         removed_snaps = 0
         spared = set(spared_snaps)
