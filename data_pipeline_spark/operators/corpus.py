@@ -167,6 +167,7 @@ def snapshot_corpus(
     redact: bool = True,
     min_turns: int = 1,
     max_turns: int | None = None,
+    doc_filter: str | None = None,
     tag: str | None = None,
 ) -> dict:
     """Reproducible corpus export from a LIVE CDC table: pin a snapshot,
@@ -203,6 +204,10 @@ def snapshot_corpus(
         docs = docs.where(F.col("n_turns") >= min_turns)
     if redact:
         docs = redact_pii(docs, text_col="doc_text")
+    if doc_filter:
+        # quality gate over the assembled (post-redaction) document columns
+        # — row-local predicate, recorded in the manifest for lineage
+        docs = docs.where(F.expr(doc_filter))
     # deterministic file layout: repartition by the same md5-fraction used
     # everywhere (never round-robin — that's nondeterministic), sort within
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
@@ -221,7 +226,8 @@ def snapshot_corpus(
         "watermark_lsn": snap.get("watermark_lsn"),
         "n_docs": stats["n"],
         "n_turns": stats["t"],
-        "settings": {"redact": redact, "min_turns": min_turns, "max_turns": max_turns},
+        "settings": {"redact": redact, "min_turns": min_turns,
+                     "max_turns": max_turns, "doc_filter": doc_filter},
         "tag": tag,
     }
     with open(os.path.join(out_path, "_corpus_manifest.json"), "w") as f:

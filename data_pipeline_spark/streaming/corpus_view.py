@@ -118,7 +118,14 @@ class CorpusViewJob:
 
     redact: apply `redact_pii` to each re-assembled document (the default
     single-pass scrub — the view keeps the corpus schema, no counts column).
-    max_turns: training-window truncation, pushed into the point read."""
+    max_turns: training-window truncation, pushed into the point read.
+    doc_filter: SQL predicate over the assembled (and redacted) document
+    columns (doc_text, n_turns, n_chars) — the view becomes the
+    QUALITY-GATED corpus σ_filter(assemble(upstream)), with materialized-
+    view-correct semantics: a document whose churn drops it below the bar
+    is DELETED from the view (the same anti-join that handles whole-
+    conversation deletes), and one that rises above it appears. Row-local
+    predicate, no extra shuffle."""
 
     def __init__(
         self,
@@ -127,12 +134,14 @@ class CorpusViewJob:
         control_path: str,
         redact: bool = False,
         max_turns: int | None = None,
+        doc_filter: str | None = None,
         high_churn_threshold: int = 100_000,
         **ingest_kw,
     ):
         self.upstream = LakehouseTable(upstream_path)
         self.redact = redact
         self.max_turns = max_turns
+        self.doc_filter = doc_filter
         # Above this many distinct touched conversations per refresh the
         # point-read path stops making sense: collecting the id list pushes
         # megabytes through the driver and the isin filter, and with every
@@ -176,6 +185,10 @@ class CorpusViewJob:
         )
         if self.redact:
             docs = redact_pii(docs, text_col="doc_text")
+        if self.doc_filter:
+            # quality gate AFTER redaction (the filter judges what ships);
+            # dropped documents fall through to the deletes anti-join below
+            docs = docs.where(F.expr(self.doc_filter))
         upserts = docs.select(
             F.lit(lsn).alias("lsn"),
             F.lit("U").alias("op"),
@@ -184,7 +197,9 @@ class CorpusViewJob:
             F.lit(0).alias("turn_idx"),
             F.to_json(F.struct("doc_text", "n_turns", "n_chars")).alias("payload"),
         )
-        # a touched conversation with no surviving turns → delete its doc
+        # a touched conversation with no surviving DOCUMENT — every turn
+        # deleted upstream, or (doc_filter) now below the quality bar —
+        # becomes a view delete
         deletes = (
             changed_ids
             .join(docs.select("conv_id"), "conv_id", "left_anti")
@@ -294,6 +309,7 @@ def export_corpus_delta(
     redact: bool = True,
     min_turns: int = 1,
     max_turns: int | None = None,
+    doc_filter: str | None = None,
     high_churn_threshold: int = 100_000,
 ) -> dict:
     """Incremental corpus EXPORT: ship only the documents whose
@@ -307,8 +323,10 @@ def export_corpus_delta(
             docs.parquet      (conv_id, doc_text, n_turns, n_chars) —
                               the CURRENT images of touched conversations
             deletes.parquet   (conv_id) — touched conversations whose
-                              document no longer exists (all turns deleted
-                              upstream, or now below min_turns)
+                              document no longer ships (all turns deleted
+                              upstream, now below min_turns, or dropped by
+                              doc_filter — the quality gate emits deletes
+                              when a doc churns below the bar)
             _delta_manifest.json  lineage: snapshot range, watermark LSN,
                               counts, operator settings, refresh mode
 
@@ -378,6 +396,8 @@ def export_corpus_delta(
         docs = docs.where(F.col("n_turns") >= min_turns)
     if redact:
         docs = redact_pii(docs, text_col="doc_text")
+    if doc_filter:
+        docs = docs.where(F.expr(doc_filter))
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
         "overwrite"
     ).parquet(os.path.join(sub, "docs.parquet"))
@@ -402,7 +422,7 @@ def export_corpus_delta(
         "n_deleted": n_deleted,
         "mode": mode,
         "settings": {"redact": redact, "min_turns": min_turns,
-                     "max_turns": max_turns},
+                     "max_turns": max_turns, "doc_filter": doc_filter},
     }
     # manifest last, atomically: its presence IS the dir's completion marker
     mpath = os.path.join(sub, "_delta_manifest.json")

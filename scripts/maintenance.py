@@ -62,6 +62,9 @@ def main() -> None:
     cd.add_argument("--no-redact", action="store_true")
     cd.add_argument("--min-turns", type=int, default=1)
     cd.add_argument("--max-turns", type=int, default=None)
+    cd.add_argument("--doc-filter", default=None,
+                    help="SQL predicate over (doc_text, n_turns, n_chars); "
+                         "docs dropping below the bar emit deletes")
     ce = sub.add_parser("corpus-export",
                         help="full snapshot-pinned corpus export")
     ce.add_argument("--out", required=True)
@@ -69,6 +72,8 @@ def main() -> None:
     ce.add_argument("--no-redact", action="store_true")
     ce.add_argument("--min-turns", type=int, default=1)
     ce.add_argument("--max-turns", type=int, default=None)
+    ce.add_argument("--doc-filter", default=None,
+                    help="SQL predicate over (doc_text, n_turns, n_chars)")
     ce.add_argument("--tag", default=None)
     rb = sub.add_parser("rebucket")
     rb.add_argument("--n-buckets", type=int, required=True)
@@ -192,7 +197,7 @@ def main() -> None:
             out = export_corpus_delta(
                 spark, args.table, args.out, args.cursor,
                 redact=not args.no_redact, min_turns=args.min_turns,
-                max_turns=args.max_turns,
+                max_turns=args.max_turns, doc_filter=args.doc_filter,
             )
             out = {k: v for k, v in out.items() if k != "cursor"} | {
                 "cursor": args.cursor
@@ -208,7 +213,8 @@ def main() -> None:
             out = snapshot_corpus(
                 spark, args.table, args.out, snapshot_id=snapshot_id,
                 redact=not args.no_redact, min_turns=args.min_turns,
-                max_turns=args.max_turns, tag=args.tag,
+                max_turns=args.max_turns, doc_filter=args.doc_filter,
+                tag=args.tag,
             )
         elif args.cmd == "rebucket":
             out = table.rebucket(spark, args.n_buckets)
