@@ -53,11 +53,19 @@ def merge_changeset(
     data_cols: list[str],
     keys: tuple[str, str] = ("conv_id", "turn_idx"),
     extra_cols: tuple[str, ...] = ("_bucket",),
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """existing: (lsn, op='I', *data_cols, *extra_cols) or None;
     changes: (lsn, op, *data_cols, *extra_cols).
     Returns surviving rows: (*extra_cols, lsn, *data_cols), deletes dropped.
-    """
+
+    keep_deletes=True keeps each key's winning row even when it is a
+    tombstone and emits the winner's `op` column after `lsn` — the
+    changeset-SQUASH shape: the output stack is read-time-LWW-equivalent
+    to the input stack (full-row-image mode only; partial images fold
+    per column, not per row). Used by mixed-spec compaction, where a
+    tombstone may shadow a base row that still lives in an old-spec file
+    and therefore must survive the fold."""
     both = existing.unionByName(changes) if existing is not None else changes
     key_cols = list(keys)
     payload_cols = [c for c in data_cols if c not in key_cols]
@@ -72,9 +80,12 @@ def merge_changeset(
         ).alias("_s"),
     )
     winner = packed.groupBy(*key_cols).agg(F.max("_s").alias("_s"))
-    return winner.where(F.col("_s.op") != "D").select(
+    if not keep_deletes:
+        winner = winner.where(F.col("_s.op") != "D")
+    return winner.select(
         *[F.col(f"_s.{c}").alias(c) for c in extra_cols],
         F.col("_s.lsn").alias("lsn"),
+        *([F.col("_s.op").alias("op")] if keep_deletes else []),
         *[F.col(k) for k in key_cols],
         *[F.col(f"_s.{c}").alias(c) for c in payload_cols],
     )

@@ -453,9 +453,12 @@ class LakehouseTable:
             raise ValueError(
                 f"cherry_pick needs a merge snapshot, got {src['kind']!r}"
             )
-        if src["n_buckets"] != cur["n_buckets"]:
+        if src["n_buckets"] != cur["n_buckets"] or src.get("spec_id", 0) != cur.get(
+            "spec_id", 0
+        ):
             raise ValueError(
-                f"bucket layout changed ({src['n_buckets']} → "
+                f"bucket layout changed (spec {src.get('spec_id', 0)}/"
+                f"{src['n_buckets']} buckets → spec {cur.get('spec_id', 0)}/"
                 f"{cur['n_buckets']}); the picked files route keys wrong"
             )
         prefix = f"manifest-{src['snapshot_id']:08d}-"
@@ -596,6 +599,7 @@ class LakehouseTable:
         return {
             "name": name,
             "buckets": sorted({e["bucket"] for e in entries}),
+            "specs": sorted({self._entry_spec(e) for e in entries}),
             "entry_count": len(entries),
         }
 
@@ -620,21 +624,67 @@ class LakehouseTable:
         return self._files(snap or self.current_snapshot())
 
     def _carry_without_buckets(
-        self, snap: dict, new_snapshot_id: int, drop_buckets: set[int]
+        self, snap: dict, new_snapshot_id: int, drop_buckets: set[int],
+        spec_id: int | None = None, layer: str | None = None,
     ) -> list[dict]:
         """Manifest refs for a commit that removes every entry in
         `drop_buckets`: untouched manifests carry by name (no I/O beyond the
         ref), intersecting ones are rewritten without the dropped buckets —
-        O(affected manifests), never O(table)."""
+        O(affected manifests), never O(table).
+
+        spec_id / layer narrow the drop to entries of that partition spec /
+        layer: bucket ids are only comparable within one spec, so a
+        mixed-spec commit (squash, migrate) must not drop an old-spec
+        entry whose bucket NUMBER merely collides with a current-spec
+        bucket it is rewriting."""
         carried: list[dict] = []
         for m in snap.get("manifests", []):
-            if not (set(m["buckets"]) & drop_buckets):
+            if not (set(m["buckets"]) & drop_buckets) or (
+                spec_id is not None and "specs" in m and spec_id not in m["specs"]
+            ):
                 carried.append(m)
                 continue
+            entries = self._manifest_entries(m["name"])
             rest = [
-                e for e in self._manifest_entries(m["name"]) if e["bucket"] not in drop_buckets
+                e
+                for e in entries
+                if not (
+                    e["bucket"] in drop_buckets
+                    and (spec_id is None or self._entry_spec(e) == spec_id)
+                    and (layer is None or e.get("layer", "base") == layer)
+                )
             ]
-            if rest:
+            if len(rest) == len(entries):
+                # bucket numbers intersected but spec/layer filtered the
+                # drop to nothing — carry by ref, no rewrite
+                carried.append(m)
+            elif rest:
+                carried.append(self._write_manifest(new_snapshot_id, rest))
+        return carried
+
+    def _carry_without_paths(
+        self, snap: dict, new_snapshot_id: int, drop_paths: set[str],
+        specs_hint: set[int] | None = None,
+    ) -> list[dict]:
+        """Manifest refs for a commit that removes an explicit entry set
+        (migrate_spec re-layouts exact files): same carry-by-name / rewrite
+        split as _carry_without_buckets, keyed by path. specs_hint: the
+        dropped entries' spec ids — manifests whose recorded spec set is
+        disjoint carry by ref without being opened."""
+        carried: list[dict] = []
+        for m in snap.get("manifests", []):
+            if (
+                specs_hint is not None
+                and "specs" in m
+                and not (set(m["specs"]) & specs_hint)
+            ):
+                carried.append(m)
+                continue
+            entries = self._manifest_entries(m["name"])
+            rest = [e for e in entries if e["path"] not in drop_paths]
+            if len(rest) == len(entries):
+                carried.append(m)
+            elif rest:
                 carried.append(self._write_manifest(new_snapshot_id, rest))
         return carried
 
@@ -868,6 +918,8 @@ class LakehouseTable:
                 "watermark_lsn": 0,
                 "schema_id": 0,
                 "n_buckets": n_buckets,
+                "spec_id": 0,
+                "specs": {"0": n_buckets},
                 "merge_mode": merge_mode,
                 "update_mode": update_mode,
                 "compact_every": compact_every,
@@ -921,6 +973,7 @@ class LakehouseTable:
     def _reconciled(
         self, spark: SparkSession, snap: dict, buckets: set[int] | None = None,
         keys: list[str] | None = None,
+        bucket_sets: dict[int, set[int]] | None = None,
     ) -> DataFrame | None:
         """Current live rows (with `lsn` column): base ∪ deltas reconciled by
         last-writer-wins; tombstones suppressed. None if no files.
@@ -929,11 +982,22 @@ class LakehouseTable:
         manifest key range matches none of them are skipped before any
         Spark I/O (see _prune_by_key). Safe under LWW reconcile: a pruned
         file by definition holds no rows for the requested keys, so its
-        absence can't change which version wins."""
+        absence can't change which version wins.
+
+        buckets: keep only entries with these bucket ids — single-spec
+        callers only (bucket ids are spec-relative). bucket_sets: the
+        mixed-spec form, spec_id → kept buckets; entries of a spec not in
+        the map are dropped. Mutually exclusive."""
         entries = self._files(snap)
         if keys:
             entries = self._prune_by_key(entries, keys)
-        if buckets is not None:
+        if bucket_sets is not None:
+            entries = [
+                e
+                for e in entries
+                if e["bucket"] in bucket_sets.get(self._entry_spec(e), ())
+            ]
+        elif buckets is not None:
             entries = [e for e in entries if e["bucket"] in buckets]
         base_e = [e for e in entries if e.get("layer", "base") == "base"]
         delta_e = [e for e in entries if e.get("layer") == "delta"]
@@ -996,11 +1060,16 @@ class LakehouseTable:
             snapshot_id = refs[tag]["snapshot_id"]
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
-        buckets = None
+        bucket_sets = None
         if conv_ids is not None:
             if not conv_ids:
                 return self._empty(spark, snap, with_lsn)
-            buckets = self._buckets_for(spark, conv_ids, snap["n_buckets"])
+            # one bucket set PER live spec: during a spec migration the
+            # point read stays pruned on both layouts (old-spec base files
+            # by their old bucket, post-evolve files by the new one)
+            bucket_sets = self._buckets_by_spec(
+                spark, conv_ids, self.table_specs(snap)
+            )
         # key-range pruning is sound only when the recorded per-file stats
         # (cluster_by[0]) are stats OF the filtered column — a table
         # clustered by some other column (ts, text) must not prune on
@@ -1008,7 +1077,7 @@ class LakehouseTable:
         # matching files at worst
         prunable = (snap.get("cluster_by") or [None])[0] == "conv_id"
         rec = self._reconciled(
-            spark, snap, buckets=buckets, keys=conv_ids if prunable else None
+            spark, snap, bucket_sets=bucket_sets, keys=conv_ids if prunable else None
         )
         if rec is None:
             return self._empty(spark, snap, with_lsn)
@@ -1017,20 +1086,59 @@ class LakehouseTable:
         out_cols = list(data_cols) + ([F.col("lsn").alias(LSN_COL)] if with_lsn else [])
         return rec.select(*out_cols)
 
-    def _buckets_for(self, spark: SparkSession, conv_ids: list[str], n_buckets: int) -> set[int]:
-        """Bucket ids the given conversations hash into (xxhash64 lives in
-        the JVM — one tiny local job over the id list, no table I/O)."""
-        rows = (
-            spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
-            .select(self.bucket_expr(n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
-        return {r["b"] for r in rows}
-
     # ----------------------------------------------------------------- write
     def bucket_expr(self, n_buckets: int) -> F.Column:
         return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+    # -------------------------------------------------- partition-spec state
+    def spec_id(self, snap: dict | None = None) -> int:
+        """Current write-spec id. Legacy snapshots (pre-spec-evolution) are
+        spec 0 by definition: every file they reference was written under
+        the snapshot's single n_buckets (eager rebucket rewrites all files,
+        so the single-spec invariant held)."""
+        snap = snap or self.current_snapshot()
+        return snap.get("spec_id", 0)
+
+    def table_specs(self, snap: dict | None = None) -> dict[int, int]:
+        """spec_id → n_buckets for every spec that may still own live files
+        at this snapshot (Iceberg's partition-specs list). Single-entry on
+        tables that never evolved; two entries between evolve_bucket_spec
+        and the completion of migrate_spec."""
+        snap = snap or self.current_snapshot()
+        specs = snap.get("specs")
+        if specs is None:
+            return {self.spec_id(snap): snap["n_buckets"]}
+        return {int(s): int(n) for s, n in specs.items()}
+
+    @staticmethod
+    def _entry_spec(e: dict) -> int:
+        return e.get("spec_id", 0)
+
+    def _mixed_spec(self, snap: dict) -> bool:
+        """True while files written under a retired spec are still live —
+        the window where compaction must preserve tombstones (a tombstone
+        may shadow a row whose base copy lives in an old-spec file) and
+        point reads prune per spec."""
+        if len(self.table_specs(snap)) <= 1:
+            return False
+        cur = self.spec_id(snap)
+        return any(self._entry_spec(e) != cur for e in self._files(snap))
+
+    def _buckets_by_spec(
+        self, spark: SparkSession, conv_ids: list[str], specs: dict[int, int]
+    ) -> dict[int, set[int]]:
+        """Bucket ids the given conversations hash into, under EVERY live
+        spec — one tiny local job regardless of spec count (each spec is
+        one collect_set aggregate over the same id list)."""
+        df = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+        aggs = [
+            F.collect_set(
+                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+            ).alias(f"s{s}")
+            for s, n in specs.items()
+        ]
+        row = df.agg(*aggs).first()
+        return {s: set(row[f"s{s}"]) for s in specs}
 
     def update_mode(self, snap: dict | None = None) -> str:
         snap = snap or self.current_snapshot()
@@ -1052,6 +1160,7 @@ class LakehouseTable:
         split_deletes: bool = False,
         sort_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        spec_id: int = 0,
     ) -> list[dict]:
         """Write rows (with _bucket, _lsn and — for deltas — _op) under
         data/s<id>/, one shuffle (repartition by _bucket) so writes
@@ -1118,6 +1227,7 @@ class LakehouseTable:
                         "bucket": int(parts["_bucket"]),
                         "schema_id": schema_id,
                         "layer": layer,
+                        "spec_id": spec_id,
                     }
                     if "_del" in parts:
                         e["is_delete"] = parts["_del"] == "true"
@@ -1227,6 +1337,7 @@ class LakehouseTable:
             data, new_id, snap["schema_id"], snap["n_buckets"], "base",
             sort_cols=cluster_by,
             max_records_per_file=snap.get("target_file_rows"),
+            spec_id=self.spec_id(snap),
         )
         if cluster_by:
             entries = self._key_stats(entries, cluster_by[0])
@@ -1260,6 +1371,7 @@ class LakehouseTable:
         affected_hint: set[int] | None = None,
         max_lsn_hint: int | None = None,
         enforce_watermark: bool = True,
+        bucket_n: int | None = None,
     ) -> dict:
         """Apply a deduped changeset (≤1 row per key; columns: lsn, op,
         <table columns>, optionally _bucket).
@@ -1278,6 +1390,15 @@ class LakehouseTable:
             changes = changes.where(F.col("lsn") > F.lit(watermark))
         if "_bucket" not in changes.columns:
             changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
+        elif bucket_n is not None and bucket_n != n_buckets:
+            # caller computed _bucket under a spec that was evolved away
+            # between its planning and this commit (or a with_commit_retry
+            # re-run straddling an evolve): re-route, else the delta files
+            # land in dirs that disagree with the rows' real buckets and
+            # bucket-pruned point reads miss them
+            changes = changes.withColumn("_bucket", self.bucket_expr(n_buckets))
+            if affected_hint is not None:
+                affected_hint = None  # stale spec's bucket ids — recompute
         # Columns added to the schema AFTER this changeset was decoded (a
         # concurrent add_column landing between decode and commit, or a
         # with_commit_retry re-running merge against an evolved snapshot)
@@ -1360,7 +1481,8 @@ class LakehouseTable:
         )
         new_id = self._next_id(snap)
         entries = self._write_data(
-            delta, new_id, snap["schema_id"], snap["n_buckets"], "delta", split_deletes=True
+            delta, new_id, snap["schema_id"], snap["n_buckets"], "delta",
+            split_deletes=True, spec_id=self.spec_id(snap),
         )
         if not entries:
             return self._commit_noop_merge(snap, batch_id)
@@ -1447,6 +1569,7 @@ class LakehouseTable:
             live, new_id, snap["schema_id"], snap["n_buckets"], "base",
             sort_cols=cluster_by,
             max_records_per_file=snap.get("target_file_rows"),
+            spec_id=self.spec_id(snap),
         )
         if cluster_by:
             new_entries = self._key_stats(new_entries, cluster_by[0])
@@ -1502,6 +1625,14 @@ class LakehouseTable:
         sel = with_deltas if buckets is None else (set(buckets) & with_deltas)
         if not sel:
             return {"skipped": True}
+        if self._mixed_spec(snap):
+            # files under a retired spec are still live (evolve_bucket_spec
+            # committed, migrate_spec not finished): a full fold is unsafe —
+            # a tombstone here may shadow a base row that lives in an
+            # old-spec file, and dropping it would resurrect that row. Squash
+            # instead: collapse each hot bucket's delta stack into ONE delta
+            # file, tombstones kept.
+            return self._squash(spark, snap, sel)
         rec = self._reconciled(spark, snap, buckets=sel)
         new_id = self._next_id(snap)
         cluster_by = snap.get("cluster_by")
@@ -1516,6 +1647,7 @@ class LakehouseTable:
                 base, new_id, snap["schema_id"], snap["n_buckets"], "base",
                 sort_cols=cluster_by,
                 max_records_per_file=snap.get("target_file_rows"),
+                spec_id=self.spec_id(snap),
             )
             if cluster_by:
                 entries = self._key_stats(entries, cluster_by[0])
@@ -1545,6 +1677,90 @@ class LakehouseTable:
         }
         self._commit(new)
         return {"skipped": False, "snapshot_id": new_id, "compacted_buckets": len(sel)}
+
+    def _squash(self, spark: SparkSession, snap: dict, sel: set[int]) -> dict:
+        """Mixed-spec compaction: collapse each selected bucket's delta
+        stack into ONE delta file, TOMBSTONES KEPT (cf. Iceberg, where
+        rewrite_data_files must retain equality deletes until the files
+        they may target are rewritten). Read amplification drops k→1 per
+        bucket while old-spec base files remain untouched; the normal
+        tombstone-dropping fold resumes once migrate_spec has retired the
+        old spec's files.
+
+        Full-row-image tables fold per key (the winning row is
+        read-time-LWW-equivalent to the stack); partial-image tables fold
+        per COLUMN at read, so their squash is pure concatenation — file
+        count drops, rows are preserved verbatim. Output files are delta
+        layer in the manifest but written WITHOUT the _del= dir split:
+        stream_changes tails the _del= glob, and a squash (like any
+        compaction) must be invisible to changelog consumers."""
+        cur_spec = self.spec_id(snap)
+        delta_e = [
+            e
+            for e in self._files(snap)
+            if e.get("layer") == "delta"
+            and self._entry_spec(e) == cur_spec
+            and e["bucket"] in sel
+        ]
+        if not delta_e:
+            return {"skipped": True}
+        new_id = self._next_id(snap)
+        data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        if self.update_mode(snap) == "partial":
+            df = self._read_parts(spark, snap, delta_e, [LSN_COL, OP_COL, MASK_COL])
+            out = df.select(
+                self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+                F.col(LSN_COL), F.col(OP_COL), F.col(MASK_COL), *data_cols,
+            )
+        else:
+            df = self._read_parts(spark, snap, delta_e, [LSN_COL, OP_COL])
+            stack = df.select(
+                F.col(LSN_COL).alias("lsn"), F.col(OP_COL).alias("op"), *data_cols
+            )
+            winners = merge_changeset(
+                None, stack, data_cols, extra_cols=(), keep_deletes=True
+            )
+            out = winners.select(
+                self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+                F.col("lsn").alias(LSN_COL), F.col("op").alias(OP_COL), *data_cols,
+            )
+        entries = self._write_data(
+            out, new_id, snap["schema_id"], snap["n_buckets"], "delta",
+            split_deletes=False, spec_id=cur_spec,
+        )
+        carried = self._carry_without_buckets(
+            snap, new_id, sel, spec_id=cur_spec, layer="delta"
+        )
+        if entries:
+            carried.append(self._write_manifest(new_id, entries))
+        depth = {
+            b: c for b, c in snap.get("delta_depth", {}).items() if int(b) not in sel
+        }
+        for e in entries:
+            depth[str(e["bucket"])] = depth.get(str(e["bucket"]), 0) + 1
+        new = {
+            **snap,
+            "snapshot_id": new_id,
+            "parent": snap["snapshot_id"],
+            "kind": "compact",
+            "batch_id": None,
+            "delta_commits": max([0] + list(depth.values())),
+            "manifests": carried,
+            "delta_depth": depth,
+            "stats": {
+                "mode": "squash",
+                "squashed_buckets": len(sel),
+                "squashed_files": len(delta_e),
+            },
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "compacted_buckets": len(sel),
+            "mode": "squash",
+        }
 
     def rewrite_manifests(
         self, target_entries_per_manifest: int = 100_000
@@ -1616,6 +1832,7 @@ class LakehouseTable:
             return {"skipped": True}
         rec = self._reconciled(spark, snap)
         new_id = self._next_id(snap)
+        new_spec = self.spec_id(snap) + 1
         cluster_by = snap.get("cluster_by")
         entries: list[dict] = []
         if rec is not None:
@@ -1628,6 +1845,7 @@ class LakehouseTable:
                 base, new_id, snap["schema_id"], new_n_buckets, "base",
                 sort_cols=cluster_by,
                 max_records_per_file=snap.get("target_file_rows"),
+                spec_id=new_spec,
             )
             if cluster_by:
                 entries = self._key_stats(entries, cluster_by[0])
@@ -1638,6 +1856,8 @@ class LakehouseTable:
             "kind": "rebucket",
             "batch_id": None,
             "n_buckets": new_n_buckets,
+            "spec_id": new_spec,
+            "specs": {str(new_spec): new_n_buckets},
             "delta_commits": 0,
             "manifests": [self._write_manifest(new_id, entries)] if entries else [],
             "delta_depth": {},
@@ -1646,6 +1866,194 @@ class LakehouseTable:
         }
         self._commit(new)
         return {"skipped": False, "snapshot_id": new_id, "n_buckets": new_n_buckets}
+
+    def evolve_bucket_spec(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """LAZY partition-spec evolution (Iceberg's metadata-only spec
+        change): switch merge/compaction write parallelism to
+        `new_n_buckets` WITHOUT rewriting the table. Cost is O(pending
+        deltas) — any un-compacted delta stack is folded first (they were
+        bucketed under the old spec and would poison per-bucket targeting)
+        — never O(table): existing base files stay where they are, readable
+        under their recorded spec, and every subsequent write routes by the
+        new spec immediately.
+
+        This is the 10^10-scale answer to "the table outgrew its write
+        parallelism": `rebucket` (the eager variant) pays a full-table
+        rewrite up front; evolve pays nothing up front and lets
+        `migrate_spec` re-layout old files incrementally, in bounded
+        batches, while ingest keeps running. Until migration completes the
+        table is mixed-spec: point reads prune per spec (read), and
+        compaction squashes instead of folding (tombstones must outlive any
+        old-spec base row they shadow — see _squash).
+
+        MOR tables only: COW merges rewrite whole buckets in place, which
+        requires a single consistent bucket→file layout (use rebucket).
+        One migration at a time: evolving again while old-spec files remain
+        would stack three live specs — finish migrate_spec first."""
+        def attempt() -> dict:
+            snap = self.current_snapshot()
+            if snap.get("merge_mode", "cow") != "mor":
+                raise ValueError(
+                    "evolve_bucket_spec needs merge_mode='mor' (COW rewrites "
+                    "whole buckets in place); use rebucket for COW tables"
+                )
+            if new_n_buckets == snap["n_buckets"]:
+                return {"skipped": True, "n_buckets": new_n_buckets}
+            if self._mixed_spec(snap):
+                raise ValueError(
+                    "a spec migration is already in progress — run "
+                    "migrate_spec to completion before evolving again"
+                )
+            if self.delta_depth(snap):
+                # single-spec state: the full tombstone-dropping fold is
+                # safe, and it clears the old-spec delta layer so the new
+                # spec starts clean. O(pending churn), not O(table).
+                self.compact(spark)
+                snap = self.current_snapshot()
+                if self.delta_depth(snap):
+                    # a concurrent merge landed between fold and re-read —
+                    # retry the whole attempt under the commit-retry loop
+                    raise CommitConflictError(
+                        "concurrent merge landed during evolve_bucket_spec"
+                    )
+            new_spec = self.spec_id(snap) + 1
+            n_old_files = len(self._files(snap))
+            # an empty table has nothing to migrate: don't leave the
+            # retired spec in the live list (migrate_spec would have no
+            # non-skipped call left to collapse it)
+            specs = (
+                {str(new_spec): new_n_buckets}
+                if n_old_files == 0
+                else {
+                    **{str(s): n for s, n in self.table_specs(snap).items()},
+                    str(new_spec): new_n_buckets,
+                }
+            )
+            new = {
+                **snap,
+                "snapshot_id": self._next_id(snap),
+                "parent": snap["snapshot_id"],
+                "kind": "evolve_spec",
+                "batch_id": None,
+                "n_buckets": new_n_buckets,
+                "spec_id": new_spec,
+                "specs": specs,
+                "delta_commits": 0,
+                "delta_depth": {},
+                "stats": {
+                    "evolved_from": snap["n_buckets"],
+                    "evolved_to": new_n_buckets,
+                    "old_spec_files": n_old_files,
+                },
+                "committed_at": time.time(),
+            }
+            self._commit(new)
+            return {
+                "skipped": False,
+                "snapshot_id": new["snapshot_id"],
+                "spec_id": new_spec,
+                "n_buckets": new_n_buckets,
+                "old_spec_files": new["stats"]["old_spec_files"],
+            }
+
+        return with_commit_retry(attempt)
+
+    def migrate_spec(
+        self, spark: SparkSession, max_old_buckets: int | None = None
+    ) -> dict:
+        """Incrementally re-layout old-spec base files under the current
+        spec after evolve_bucket_spec — Iceberg's rewrite_data_files run
+        bucket-batch by bucket-batch. Pure re-layout, NO reconcile: rows
+        move with their LSN, so read-time LWW keeps resolving versions
+        exactly as before (a newer delta still beats a migrated old row).
+        Files also come out re-projected to the CURRENT schema and, on
+        clustered tables, key-sorted with manifest key ranges.
+
+        max_old_buckets bounds one call's work to that many old-spec
+        buckets (resumable maintenance; None = finish the migration). When
+        the last old-spec file retires, the spec list collapses to the
+        current spec and normal tombstone-dropping compaction resumes."""
+        snap = self.current_snapshot()
+        cur_spec = self.spec_id(snap)
+        old = [e for e in self._files(snap) if self._entry_spec(e) != cur_spec]
+        if not old:
+            if len(self.table_specs(snap)) > 1:
+                # no old-spec files remain (e.g. a rollback or compaction
+                # retired the last one) but the spec list is stale: commit
+                # the metadata-only collapse so mixed-spec handling ends
+                new = {
+                    **snap,
+                    "snapshot_id": self._next_id(snap),
+                    "parent": snap["snapshot_id"],
+                    "kind": "migrate_spec",
+                    "batch_id": None,
+                    "specs": {str(cur_spec): snap["n_buckets"]},
+                    "stats": {
+                        "migrated_files": 0,
+                        "migrated_buckets": 0,
+                        "remaining_old_files": 0,
+                    },
+                    "committed_at": time.time(),
+                }
+                self._commit(new)
+            return {"skipped": True, "remaining_old_files": 0}
+        groups = sorted({(self._entry_spec(e), e["bucket"]) for e in old})
+        if max_old_buckets is not None:
+            groups = groups[: max(1, max_old_buckets)]
+        chosen = [
+            e for e in old if (self._entry_spec(e), e["bucket"]) in set(groups)
+        ]
+        new_id = self._next_id(snap)
+        data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
+        cluster_by = snap.get("cluster_by")
+        df = self._read_parts(spark, snap, chosen, [LSN_COL])
+        moved = df.select(
+            self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+            F.col(LSN_COL),
+            *data_cols,
+        )
+        entries = self._write_data(
+            moved, new_id, snap["schema_id"], snap["n_buckets"], "base",
+            sort_cols=cluster_by,
+            max_records_per_file=snap.get("target_file_rows"),
+            spec_id=cur_spec,
+        )
+        if cluster_by:
+            entries = self._key_stats(entries, cluster_by[0])
+        carried = self._carry_without_paths(
+            snap, new_id, {e["path"] for e in chosen},
+            specs_hint={s for s, _b in groups},
+        )
+        if entries:
+            carried.append(self._write_manifest(new_id, entries))
+        remaining = len(old) - len(chosen)
+        new = {
+            **snap,
+            "snapshot_id": new_id,
+            "parent": snap["snapshot_id"],
+            "kind": "migrate_spec",
+            "batch_id": None,
+            "manifests": carried,
+            # migration complete → retire the old spec from the live list
+            **(
+                {"specs": {str(cur_spec): snap["n_buckets"]}}
+                if remaining == 0
+                else {}
+            ),
+            "stats": {
+                "migrated_files": len(chosen),
+                "migrated_buckets": len(groups),
+                "remaining_old_files": remaining,
+            },
+            "committed_at": time.time(),
+        }
+        self._commit(new)
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "migrated_files": len(chosen),
+            "remaining_old_files": remaining,
+        }
 
     # ------------------------------------------------------------------- DDL
     def apply_ddl(self, descriptors: list[dict]) -> dict:
@@ -1850,7 +2258,7 @@ class LakehouseTable:
             prev_files.update(e["path"] for e in s_files)
             if s["kind"] in (
                 "create", "ddl", "compact", "rollback", "rebucket",
-                "rewrite_manifests",
+                "rewrite_manifests", "evolve_spec", "migrate_spec",
             ) or not new_entries:
                 continue
             if s["kind"] in ("merge", "cherry-pick"):

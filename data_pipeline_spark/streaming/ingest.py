@@ -322,7 +322,8 @@ class IngestJob:
             # comes back from the merge's thin-column scan of the written
             # delta files.
             result = self.table.merge(
-                spark, batch_id, collapsed, enforce_watermark=enforce_watermark
+                spark, batch_id, collapsed, enforce_watermark=enforce_watermark,
+                bucket_n=n_buckets,
             )
             mark("merge")
             metrics = [
@@ -352,7 +353,7 @@ class IngestJob:
                 result = self.table.merge(
                     spark, batch_id, deduped,
                     affected_hint=affected, max_lsn_hint=max_lsn or 0,
-                    enforce_watermark=enforce_watermark,
+                    enforce_watermark=enforce_watermark, bucket_n=n_buckets,
                 )
                 mark("merge")
             finally:

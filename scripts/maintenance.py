@@ -77,6 +77,16 @@ def main() -> None:
     ce.add_argument("--tag", default=None)
     rb = sub.add_parser("rebucket")
     rb.add_argument("--n-buckets", type=int, required=True)
+    ev = sub.add_parser("evolve-spec",
+                        help="lazy rebucket: metadata-only spec change; old "
+                             "files stay readable, migrate-spec re-layouts "
+                             "them incrementally")
+    ev.add_argument("--n-buckets", type=int, required=True)
+    mg = sub.add_parser("migrate-spec",
+                        help="re-layout old-spec files under the current "
+                             "spec, a bounded batch at a time")
+    mg.add_argument("--max-old-buckets", type=int, default=None,
+                    help="bound one call's work (resumable); default: finish")
     ro = sub.add_parser("rollback")
     ro.add_argument("--snapshot-id", type=int, required=True)
     rm = sub.add_parser("rewrite-manifests")
@@ -218,6 +228,16 @@ def main() -> None:
             )
         elif args.cmd == "rebucket":
             out = table.rebucket(spark, args.n_buckets)
+        elif args.cmd == "evolve-spec":
+            out = table.evolve_bucket_spec(spark, args.n_buckets)
+        elif args.cmd == "migrate-spec":
+            from data_pipeline_spark.plans.table_format import with_commit_retry
+
+            out = with_commit_retry(
+                lambda: table.migrate_spec(
+                    spark, max_old_buckets=args.max_old_buckets
+                )
+            )
         elif args.cmd == "rollback":
             out = table.rollback_to(args.snapshot_id)
         print(json.dumps(out))

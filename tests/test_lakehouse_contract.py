@@ -54,6 +54,11 @@ CONTRACT: dict[str, list[str]] = {
     "rewrite_manifests": ["target_entries_per_manifest"],  # manifest scaling
     "expire_snapshots": [],                    # retention
     "rollback_to": ["snapshot_id"],            # changelog rollback
+    # partition-spec evolution (lazy rebucket at scale) --------------------
+    "spec_id": ["snap"],                       # write paths stamp entries
+    "table_specs": ["snap"],                   # mixed-spec point-read pruning
+    "evolve_bucket_spec": ["spark", "new_n_buckets"],  # scripts/maintenance.py
+    "migrate_spec": ["spark", "max_old_buckets"],      # bounded re-layout
     # refs: tags + branches (WAP / reproducible corpora) -------------------
     "tags": [],
     "tag_snapshot": ["name", "snapshot_id", "replace"],  # snapshot_corpus

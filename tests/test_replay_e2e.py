@@ -272,7 +272,7 @@ def test_point_read_bucket_pruning(spark, feed_dir, tmp_path):
         full[full["conv_id"].isin(targets)].reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
-    assert len(job.table._buckets_for(spark, targets, 16)) <= 3
+    assert len(job.table._buckets_by_spec(spark, targets, {0: 16})[0]) <= 3
     assert job.table.read(spark, conv_ids=[]).count() == 0
 
 
