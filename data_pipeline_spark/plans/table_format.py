@@ -1132,9 +1132,9 @@ class LakehouseTable:
         one collect_set aggregate over the same id list)."""
         df = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
         aggs = [
-            F.collect_set(
-                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
-            ).alias(f"s{s}")
+            # bucket_expr is the single routing definition — the write path
+            # and this read-side pruning must never diverge
+            F.collect_set(self.bucket_expr(n)).alias(f"s{s}")
             for s, n in specs.items()
         ]
         row = df.agg(*aggs).first()
@@ -1347,6 +1347,11 @@ class LakehouseTable:
             "parent": snap["snapshot_id"],
             "kind": "overwrite",
             "batch_id": batch_id,
+            # a full load retires every pre-existing file: no old-spec file
+            # can survive it, so collapse the live-spec list (else a
+            # mid-migration initsync would leave the retired spec
+            # registered forever)
+            "specs": {str(self.spec_id(snap)): snap["n_buckets"]},
             **(
                 {"watermark_lsn": max(snap.get("watermark_lsn") or 0, watermark_lsn)}
                 if watermark_lsn is not None
@@ -1972,7 +1977,18 @@ class LakehouseTable:
         max_old_buckets bounds one call's work to that many old-spec
         buckets (resumable maintenance; None = finish the migration). When
         the last old-spec file retires, the spec list collapses to the
-        current spec and normal tombstone-dropping compaction resumes."""
+        current spec and normal tombstone-dropping compaction resumes.
+
+        Online like evolve: a merge landing between plan and commit loses
+        only this CAS attempt — the whole step (including the re-layout
+        write) retries against the new head internally."""
+        return with_commit_retry(
+            lambda: self._migrate_spec_once(spark, max_old_buckets)
+        )
+
+    def _migrate_spec_once(
+        self, spark: SparkSession, max_old_buckets: int | None
+    ) -> dict:
         snap = self.current_snapshot()
         cur_spec = self.spec_id(snap)
         old = [e for e in self._files(snap) if self._entry_spec(e) != cur_spec]
@@ -1997,11 +2013,21 @@ class LakehouseTable:
                 }
                 self._commit(new)
             return {"skipped": True, "remaining_old_files": 0}
+        if any(e.get("layer") == "delta" for e in old):
+            # evolve folds every pending delta before the spec flips, so an
+            # old-spec DELTA file here means that invariant broke upstream.
+            # Migrating it would drop its op column and resurrect
+            # tombstoned rows into base files — fail loudly instead.
+            raise ValueError(
+                "old-spec delta files found — the pre-evolve fold invariant "
+                "is broken; compact the old spec before migrating"
+            )
         groups = sorted({(self._entry_spec(e), e["bucket"]) for e in old})
         if max_old_buckets is not None:
             groups = groups[: max(1, max_old_buckets)]
+        chosen_keys = set(groups)
         chosen = [
-            e for e in old if (self._entry_spec(e), e["bucket"]) in set(groups)
+            e for e in old if (self._entry_spec(e), e["bucket"]) in chosen_keys
         ]
         new_id = self._next_id(snap)
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]

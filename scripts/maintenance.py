@@ -231,13 +231,7 @@ def main() -> None:
         elif args.cmd == "evolve-spec":
             out = table.evolve_bucket_spec(spark, args.n_buckets)
         elif args.cmd == "migrate-spec":
-            from data_pipeline_spark.plans.table_format import with_commit_retry
-
-            out = with_commit_retry(
-                lambda: table.migrate_spec(
-                    spark, max_old_buckets=args.max_old_buckets
-                )
-            )
+            out = table.migrate_spec(spark, max_old_buckets=args.max_old_buckets)
         elif args.cmd == "rollback":
             out = table.rollback_to(args.snapshot_id)
         print(json.dumps(out))

@@ -297,6 +297,32 @@ def test_evolve_guards(spark, tmp_path, feed_pdf):
         src.cherry_pick(merge_id)
 
 
+def test_overwrite_mid_migration_collapses_spec_list(spark, tmp_path, feed_pdf):
+    """A full load (initsync overwrite) retires every pre-existing file —
+    no old-spec file can survive it — so it must also retire old specs
+    from the live list, or the table stays 'mixed-spec' in metadata
+    forever (per-dead-spec bucket sets on every point read, squash-mode
+    compaction, and a refused second evolve)."""
+    tbl, job = _mk(tmp_path, "t")
+    parts = _slices(feed_pdf, 2)
+    _apply(spark, job, parts[0], 0)
+    tbl.evolve_bucket_spec(spark, 8)
+    _apply(spark, job, parts[1], 1)
+    assert tbl._mixed_spec(tbl.current_snapshot())
+
+    snapshot = tbl.read(spark, with_lsn=True)
+    tbl.overwrite(spark, snapshot, batch_id=2)
+    snap = tbl.current_snapshot()
+    assert tbl.table_specs(snap) == {1: 8}
+    assert not tbl._mixed_spec(snap)
+    assert all(tbl._entry_spec(e) == 1 for e in tbl._files(snap))
+    # and the lifecycle is fully reopened: evolve again works
+    assert tbl.evolve_bucket_spec(spark, 16)["spec_id"] == 2
+    oracle = reduce_feed(feed_pdf)
+    got = _frame(tbl.read(spark))
+    assert got["text"].tolist() == oracle["text"].tolist()
+
+
 def test_gc_after_migration_drops_old_spec_files(spark, tmp_path, feed_pdf):
     """expire_snapshots after a completed migration deletes the old-spec
     files (no kept snapshot references them) and reads stay exact."""
