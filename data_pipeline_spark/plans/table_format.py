@@ -1875,12 +1875,14 @@ class LakehouseTable:
     def evolve_bucket_spec(self, spark: SparkSession, new_n_buckets: int) -> dict:
         """LAZY partition-spec evolution (Iceberg's metadata-only spec
         change): switch merge/compaction write parallelism to
-        `new_n_buckets` WITHOUT rewriting the table. Cost is O(pending
-        deltas) — any un-compacted delta stack is folded first (they were
-        bucketed under the old spec and would poison per-bucket targeting)
-        — never O(table): existing base files stay where they are, readable
-        under their recorded spec, and every subsequent write routes by the
-        new spec immediately.
+        `new_n_buckets` WITHOUT rewriting or even reading the table — a
+        pure metadata commit, O(1) data I/O regardless of table size or
+        pending churn. Existing files (base AND un-compacted delta stacks)
+        stay where they are, readable under their recorded spec; every
+        subsequent write routes by the new spec immediately. (An earlier
+        design folded pending deltas first; that made evolve O(affected
+        buckets) — measurably WORSE than rebucket on a table whose last
+        batch touched every bucket, see scripts/bench_spec_evolution.py.)
 
         This is the 10^10-scale answer to "the table outgrew its write
         parallelism": `rebucket` (the eager variant) pays a full-table
@@ -1909,18 +1911,6 @@ class LakehouseTable:
                     "a spec migration is already in progress — run "
                     "migrate_spec to completion before evolving again"
                 )
-            if self.delta_depth(snap):
-                # single-spec state: the full tombstone-dropping fold is
-                # safe, and it clears the old-spec delta layer so the new
-                # spec starts clean. O(pending churn), not O(table).
-                self.compact(spark)
-                snap = self.current_snapshot()
-                if self.delta_depth(snap):
-                    # a concurrent merge landed between fold and re-read —
-                    # retry the whole attempt under the commit-retry loop
-                    raise CommitConflictError(
-                        "concurrent merge landed during evolve_bucket_spec"
-                    )
             new_spec = self.spec_id(snap) + 1
             n_old_files = len(self._files(snap))
             # an empty table has nothing to migrate: don't leave the
@@ -1966,13 +1956,15 @@ class LakehouseTable:
     def migrate_spec(
         self, spark: SparkSession, max_old_buckets: int | None = None
     ) -> dict:
-        """Incrementally re-layout old-spec base files under the current
-        spec after evolve_bucket_spec — Iceberg's rewrite_data_files run
-        bucket-batch by bucket-batch. Pure re-layout, NO reconcile: rows
-        move with their LSN, so read-time LWW keeps resolving versions
-        exactly as before (a newer delta still beats a migrated old row).
-        Files also come out re-projected to the CURRENT schema and, on
-        clustered tables, key-sorted with manifest key ranges.
+        """Incrementally re-layout old-spec files under the current spec
+        after evolve_bucket_spec — Iceberg's rewrite_data_files run
+        bucket-batch by bucket-batch. Pure re-layout of BOTH layers, NO
+        reconcile: base rows move with their LSN, delta rows move with
+        lsn+op(+mask) and STAY delta, so read-time LWW keeps resolving
+        versions exactly as before (a newer delta still beats a migrated
+        old row, a migrated tombstone keeps shadowing its victim). Files
+        also come out re-projected to the CURRENT schema and, on clustered
+        tables, base files key-sorted with manifest key ranges.
 
         max_old_buckets bounds one call's work to that many old-spec
         buckets (resumable maintenance; None = finish the migration). When
@@ -2013,15 +2005,6 @@ class LakehouseTable:
                 }
                 self._commit(new)
             return {"skipped": True, "remaining_old_files": 0}
-        if any(e.get("layer") == "delta" for e in old):
-            # evolve folds every pending delta before the spec flips, so an
-            # old-spec DELTA file here means that invariant broke upstream.
-            # Migrating it would drop its op column and resurrect
-            # tombstoned rows into base files — fail loudly instead.
-            raise ValueError(
-                "old-spec delta files found — the pre-evolve fold invariant "
-                "is broken; compact the old spec before migrating"
-            )
         groups = sorted({(self._entry_spec(e), e["bucket"]) for e in old})
         if max_old_buckets is not None:
             groups = groups[: max(1, max_old_buckets)]
@@ -2029,29 +2012,64 @@ class LakehouseTable:
         chosen = [
             e for e in old if (self._entry_spec(e), e["bucket"]) in chosen_keys
         ]
-        new_id = self._next_id(snap)
+        chosen_base = [e for e in chosen if e.get("layer", "base") == "base"]
+        chosen_delta = [e for e in chosen if e.get("layer") == "delta"]
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
         cluster_by = snap.get("cluster_by")
-        df = self._read_parts(spark, snap, chosen, [LSN_COL])
-        moved = df.select(
-            self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
-            F.col(LSN_COL),
-            *data_cols,
-        )
-        entries = self._write_data(
-            moved, new_id, snap["schema_id"], snap["n_buckets"], "base",
-            sort_cols=cluster_by,
-            max_records_per_file=snap.get("target_file_rows"),
-            spec_id=cur_spec,
-        )
-        if cluster_by:
-            entries = self._key_stats(entries, cluster_by[0])
+        # Pure re-layout of BOTH layers, no fold: base rows move with their
+        # LSN; delta rows move with lsn+op(+mask) and stay in the delta
+        # layer, so read-time LWW resolves versions exactly as before and a
+        # tombstone keeps shadowing whatever it shadowed. Two data dirs
+        # (layers carry different columns), one atomic commit. The
+        # re-bucketed delta files are written without the _del= split —
+        # like a squash, a migration must be invisible to stream_changes.
+        base_id = self._next_id(snap)
+        new_id = base_id + 1 if chosen_delta else base_id
+        entries: list[dict] = []
+        if chosen_base:
+            df = self._read_parts(spark, snap, chosen_base, [LSN_COL])
+            moved = df.select(
+                self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+                F.col(LSN_COL),
+                *data_cols,
+            )
+            base_entries = self._write_data(
+                moved, base_id, snap["schema_id"], snap["n_buckets"], "base",
+                sort_cols=cluster_by,
+                max_records_per_file=snap.get("target_file_rows"),
+                spec_id=cur_spec,
+            )
+            if cluster_by:
+                base_entries = self._key_stats(base_entries, cluster_by[0])
+            entries += base_entries
+        delta_buckets: set[int] = set()
+        if chosen_delta:
+            extra = [LSN_COL, OP_COL] + (
+                [MASK_COL] if self.update_mode(snap) == "partial" else []
+            )
+            df = self._read_parts(spark, snap, chosen_delta, extra)
+            moved = df.select(
+                self.bucket_expr(snap["n_buckets"]).alias("_bucket"),
+                *[F.col(c) for c in extra],
+                *data_cols,
+            )
+            delta_entries = self._write_data(
+                moved, new_id, snap["schema_id"], snap["n_buckets"], "delta",
+                split_deletes=False, spec_id=cur_spec,
+            )
+            delta_buckets = {e["bucket"] for e in delta_entries}
+            entries += delta_entries
         carried = self._carry_without_paths(
             snap, new_id, {e["path"] for e in chosen},
             specs_hint={s for s, _b in groups},
         )
         if entries:
             carried.append(self._write_manifest(new_id, entries))
+        # migrated delta stacks now live under current-spec buckets: count
+        # them in delta_depth so auto-compaction sees them
+        depth = dict(snap.get("delta_depth", {}))
+        for b in delta_buckets:
+            depth[str(b)] = depth.get(str(b), 0) + 1
         remaining = len(old) - len(chosen)
         new = {
             **snap,
@@ -2060,6 +2078,10 @@ class LakehouseTable:
             "kind": "migrate_spec",
             "batch_id": None,
             "manifests": carried,
+            "delta_depth": depth,
+            "delta_commits": max(
+                [snap.get("delta_commits", 0)] + list(depth.values())
+            ),
             # migration complete → retire the old spec from the live list
             **(
                 {"specs": {str(cur_spec): snap["n_buckets"]}}

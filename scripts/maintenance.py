@@ -127,6 +127,8 @@ def main() -> None:
             "watermark_lsn": snap.get("watermark_lsn"),
             "schema_id": snap["schema_id"],
             "n_buckets": snap["n_buckets"],
+            "spec_id": table.spec_id(snap),
+            "specs": {str(s): n for s, n in table.table_specs(snap).items()},
             "merge_mode": snap.get("merge_mode"),
             "update_mode": snap.get("update_mode", "full"),
             "n_files": len(table.files(snap)),

@@ -75,12 +75,19 @@ def test_evolve_mixed_spec_read_and_migrate(spark, tmp_path, feed_pdf):
     parts = _slices(feed_pdf, 4)
     _apply(spark, job, parts[0], 0)
 
+    files_before = {e["path"] for e in tbl._files(tbl.current_snapshot())}
     r = tbl.evolve_bucket_spec(spark, 16)
     assert r["spec_id"] == 1 and r["n_buckets"] == 16
     snap = tbl.current_snapshot()
     assert tbl.table_specs(snap) == {0: 4, 1: 16}
-    # metadata-only: no data files were written by the evolve commit
     assert snap["kind"] == "evolve_spec"
+    # PURE metadata commit: zero data I/O — the exact same files (including
+    # batch 0's un-compacted delta stack) are live before and after
+    assert {e["path"] for e in tbl._files(snap)} == files_before
+    assert any(
+        e.get("layer") == "delta" and tbl._entry_spec(e) == 0
+        for e in tbl._files(snap)
+    ), "pending old-spec deltas must survive the evolve unfolded"
 
     for i, p in enumerate(parts[1:], start=1):
         _apply(spark, job, p, i)
@@ -168,10 +175,13 @@ def test_mixed_spec_compact_squashes_tombstones(spark, tmp_path, feed_pdf):
     assert snap["stats"]["mode"] == "squash"
     delta_after = [e for e in tbl._files(snap) if e.get("layer") == "delta"]
     assert len(delta_after) < n_delta_before
+    # old-spec delta files (pre-evolve, never folded) pass through a squash
+    # untouched; the one-file-per-bucket invariant is about the CURRENT spec
     by_bucket = {}
     for e in delta_after:
-        by_bucket.setdefault((tbl._entry_spec(e), e["bucket"]), []).append(e)
-    assert all(len(v) == 1 for v in by_bucket.values()), "one delta file per bucket"
+        if tbl._entry_spec(e) == tbl.spec_id(snap):
+            by_bucket.setdefault(e["bucket"], []).append(e)
+    assert by_bucket and all(len(v) == 1 for v in by_bucket.values())
 
     after = _frame(tbl.read(spark))
     pd.testing.assert_frame_equal(after, before)
@@ -295,6 +305,55 @@ def test_evolve_guards(spark, tmp_path, feed_pdf):
     src.evolve_bucket_spec(spark, 8)
     with pytest.raises(ValueError, match="bucket layout changed"):
         src.cherry_pick(merge_id)
+
+
+def test_partial_mode_evolve_migrate_matches_sequential_oracle(spark, tmp_path):
+    """Partial-row-image tables through the full lifecycle: the migrate
+    delta path must carry the _set_mask column, or per-column folds lose
+    which columns each U actually SET. Oracle = the per-row sequential
+    applier (reduce_feed_sequential)."""
+    from data_pipeline_spark.oracle import reduce_feed_sequential
+
+    pspec = FeedSpec(
+        n_events=12_000, n_convs=240, seed=55, chunk_size=12_000,
+        partial_updates=True,
+    )
+    pdf = generate_feed_pandas(pspec)
+    path = str(tmp_path / "t")
+    LakehouseTable(path).create(
+        TRANSCRIPT_SCHEMA, n_buckets=4, merge_mode="mor",
+        update_mode="partial", compact_every=10**9,
+    )
+    job = IngestJob(path, str(tmp_path / "ctl"))
+    tbl = LakehouseTable(path)
+    parts = _slices(pdf, 3)
+    _apply(spark, job, parts[0], 0)
+    tbl.evolve_bucket_spec(spark, 8)
+    _apply(spark, job, parts[1], 1)
+    _apply(spark, job, parts[2], 2)
+    assert tbl._mixed_spec(tbl.current_snapshot())
+
+    expected = reduce_feed_sequential(pdf)
+    before = _frame(tbl.read(spark))
+    assert before["text"].tolist() == expected["text"].tolist()
+
+    # squash in the mixed window is pure concatenation for partial tables
+    r = tbl.compact(spark)
+    assert r.get("mode") == "squash"
+    assert _frame(tbl.read(spark))["text"].tolist() == expected["text"].tolist()
+
+    while not tbl.migrate_spec(spark, max_old_buckets=2).get(
+        "remaining_old_files"
+    ) == 0:
+        pass
+    assert tbl.table_specs(tbl.current_snapshot()) == {1: 8}
+    after = _frame(tbl.read(spark))
+    assert after["text"].tolist() == expected["text"].tolist()
+    assert after["role"].tolist() == expected["role"].tolist()
+
+    # and the post-migration fold (per-column, tombstone-dropping) is exact
+    tbl.compact(spark)
+    assert _frame(tbl.read(spark))["text"].tolist() == expected["text"].tolist()
 
 
 def test_overwrite_mid_migration_collapses_spec_list(spark, tmp_path, feed_pdf):
