@@ -1352,6 +1352,7 @@ class LakehouseTable:
             # mid-migration initsync would leave the retired spec
             # registered forever)
             "specs": {str(self.spec_id(snap)): snap["n_buckets"]},
+            "old_delta_depth": {},
             **(
                 {"watermark_lsn": max(snap.get("watermark_lsn") or 0, watermark_lsn)}
                 if watermark_lsn is not None
@@ -1602,10 +1603,15 @@ class LakehouseTable:
 
     # ------------------------------------------------------------ compaction
     def delta_depth(self, snap: dict | None = None) -> dict[int, int]:
-        """Per-bucket delta-file count = that bucket's read amplification.
-        Maintained INCREMENTALLY in the snapshot (merge adds, compact/COW
-        clears) so the per-commit compaction decision is O(n_buckets), not an
-        O(total files) sweep; legacy snapshots fall back to the sweep."""
+        """Per-bucket delta-file count = that bucket's read amplification,
+        keyed by CURRENT-spec bucket id. Maintained INCREMENTALLY in the
+        snapshot (merge adds, compact/COW clears) so the per-commit
+        compaction decision is O(n_buckets), not an O(total files) sweep;
+        legacy snapshots fall back to the sweep. During a spec migration
+        the retired spec's un-folded stacks are NOT counted here (their
+        bucket ids live in another keyspace) — they stay visible under the
+        snapshot's `old_delta_depth` and are serviced by migrate_spec,
+        never by compact."""
         snap = snap or self.current_snapshot()
         if "delta_depth" in snap:
             return {int(b): c for b, c in snap["delta_depth"].items()}
@@ -1863,6 +1869,7 @@ class LakehouseTable:
             "n_buckets": new_n_buckets,
             "spec_id": new_spec,
             "specs": {str(new_spec): new_n_buckets},
+            "old_delta_depth": {},
             "delta_commits": 0,
             "manifests": [self._write_manifest(new_id, entries)] if entries else [],
             "delta_depth": {},
@@ -1934,7 +1941,17 @@ class LakehouseTable:
                 "spec_id": new_spec,
                 "specs": specs,
                 "delta_commits": 0,
+                # delta_depth is keyed by CURRENT-spec bucket id, so it
+                # restarts empty; the retired spec's un-folded stacks keep
+                # their read amplification visible under old_delta_depth
+                # (observability only — they are serviced by migrate_spec,
+                # never by compact) until migration retires them
                 "delta_depth": {},
+                "old_delta_depth": {
+                    b: c
+                    for b, c in snap.get("delta_depth", {}).items()
+                    if c
+                },
                 "stats": {
                     "evolved_from": snap["n_buckets"],
                     "evolved_to": new_n_buckets,
@@ -1996,6 +2013,7 @@ class LakehouseTable:
                     "kind": "migrate_spec",
                     "batch_id": None,
                     "specs": {str(cur_spec): snap["n_buckets"]},
+                    "old_delta_depth": {},
                     "stats": {
                         "migrated_files": 0,
                         "migrated_buckets": 0,
@@ -2066,10 +2084,17 @@ class LakehouseTable:
         if entries:
             carried.append(self._write_manifest(new_id, entries))
         # migrated delta stacks now live under current-spec buckets: count
-        # them in delta_depth so auto-compaction sees them
+        # them in delta_depth so auto-compaction sees them, and retire
+        # their old-spec observability entries
         depth = dict(snap.get("delta_depth", {}))
         for b in delta_buckets:
             depth[str(b)] = depth.get(str(b), 0) + 1
+        migrated_old = {b for _s, b in groups}
+        old_depth = {
+            b: c
+            for b, c in snap.get("old_delta_depth", {}).items()
+            if int(b) not in migrated_old
+        }
         remaining = len(old) - len(chosen)
         new = {
             **snap,
@@ -2079,6 +2104,7 @@ class LakehouseTable:
             "batch_id": None,
             "manifests": carried,
             "delta_depth": depth,
+            "old_delta_depth": {} if remaining == 0 else old_depth,
             "delta_commits": max(
                 [snap.get("delta_commits", 0)] + list(depth.values())
             ),

@@ -2,11 +2,13 @@
 
 The 100-TB question behind `evolve_bucket_spec`: when a table outgrows its
 write parallelism, `rebucket` pays a full-table rewrite UP FRONT while every
-concurrent merge CAS-fails and waits; `evolve` is a metadata-only commit
-(cost = folding pending deltas) that unblocks ingest immediately and lets
-`migrate_spec` re-layout old files afterwards, in bounded batches, each a
-small CAS window. Same bytes move either way — the difference is WHEN and
-in how large an atomic chunk.
+concurrent merge CAS-fails and waits; `evolve` is a PURE metadata commit
+(zero data I/O — pending delta stacks stay readable under their recorded
+spec) that unblocks ingest immediately and lets `migrate_spec` re-layout
+old files afterwards, in bounded batches, each a small CAS window. Same
+bytes move either way — the difference is WHEN and in how large an atomic
+chunk. (This bench killed the first design, which folded pending deltas at
+evolve time: O(affected buckets) made it slower than rebucket itself.)
 
 Measures, on two identical MOR tables (all-base after a full compact):
   A  t_rebucket        — the eager O(table) rewrite wall (ingest-blocking)
@@ -78,8 +80,9 @@ def main() -> None:
         """Identical start line for both arms: batches 0..n-2 folded to
         base, the LAST batch left as pending deltas — the realistic state
         a live table is in when an operator decides to re-parallelize.
-        evolve's honest cost is folding exactly that pending churn;
-        rebucket's is rewriting the whole table."""
+        evolve must stay O(1) even with that churn pending (the un-folded
+        stack rides along under its recorded spec); rebucket rewrites the
+        whole table, pending deltas included."""
         path = os.path.join(root, name)
         LakehouseTable(path).create(
             TRANSCRIPT_SCHEMA, n_buckets=args.from_buckets, merge_mode="mor",

@@ -134,6 +134,11 @@ def main() -> None:
             "n_files": len(table.files(snap)),
             "n_manifests": len(snap.get("manifests", [])),
             "delta_depth": table.delta_depth(snap),
+            **(
+                {"old_delta_depth": snap["old_delta_depth"]}
+                if snap.get("old_delta_depth")
+                else {}
+            ),
         }))
         return
 

@@ -1,8 +1,9 @@
 """Lazy partition-spec evolution (Iceberg metadata-only spec change).
 
-`evolve_bucket_spec` switches write parallelism WITHOUT rewriting the
-table (cost = folding pending deltas, never O(table)); until
-`migrate_spec` retires the old spec's files the table is mixed-spec:
+`evolve_bucket_spec` switches write parallelism as a PURE metadata commit
+(zero data I/O — even pending delta stacks stay where they are, readable
+under their recorded spec); until `migrate_spec` retires the old spec's
+files the table is mixed-spec:
 
 - point reads must prune per spec (old-spec base files by their old
   bucket id, post-evolve files by the new one) and stay exact;
@@ -88,6 +89,9 @@ def test_evolve_mixed_spec_read_and_migrate(spark, tmp_path, feed_pdf):
         e.get("layer") == "delta" and tbl._entry_spec(e) == 0
         for e in tbl._files(snap)
     ), "pending old-spec deltas must survive the evolve unfolded"
+    # their read amplification stays visible even though delta_depth (keyed
+    # by current-spec buckets) restarts empty
+    assert snap["old_delta_depth"] and tbl.delta_depth(snap) == {}
 
     for i, p in enumerate(parts[1:], start=1):
         _apply(spark, job, p, i)
@@ -130,6 +134,7 @@ def test_evolve_mixed_spec_read_and_migrate(spark, tmp_path, feed_pdf):
     assert steps >= 2, "4 old buckets at 2/batch needs >= 2 calls"
     snap = tbl.current_snapshot()
     assert tbl.table_specs(snap) == {1: 16}
+    assert not snap.get("old_delta_depth"), "observability entries retire"
     assert not tbl._mixed_spec(snap)
     assert all(tbl._entry_spec(e) == 1 for e in tbl._files(snap))
     # migrated files carry key stats on clustered reads only; here just exact
