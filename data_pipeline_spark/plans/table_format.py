@@ -1547,9 +1547,30 @@ class LakehouseTable:
         if rewrite_every and not compacted:
             if len(self.current_snapshot().get("manifests", [])) >= rewrite_every:
                 rewrote = not self.rewrite_manifests().get("skipped", True)
+        # Auto-migration piggybacked on ingest cadence (opt-in via
+        # evolve_bucket_spec(auto_migrate_buckets=N)): each merge retires N
+        # old-spec buckets, so a spec migration completes in
+        # ceil(old_buckets / N) batches with NO separate orchestration and
+        # strictly bounded extra work per batch. The guard costs one dict
+        # get on tables that never evolved.
+        migration = None
+        amb = snap.get("auto_migrate_buckets")
+        if amb and len(self.table_specs(self.current_snapshot())) > 1:
+            try:
+                r = self.migrate_spec(spark, max_old_buckets=amb)
+            except CommitConflictError:
+                # the merge itself is committed; a contended migrate chunk
+                # just waits for the next batch's cycle
+                r = {"skipped": True}
+            if not r.get("skipped"):
+                migration = {
+                    "migrated_files": r["migrated_files"],
+                    "remaining_old_files": r["remaining_old_files"],
+                }
         return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
                 "affected_buckets": len(bucket_metrics), "compacted": compacted,
                 "manifests_rewritten": rewrote,
+                **({"spec_migration": migration} if migration else {}),
                 "bucket_metrics": bucket_metrics}
 
     def _merge_cow(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
@@ -1879,7 +1900,10 @@ class LakehouseTable:
         self._commit(new)
         return {"skipped": False, "snapshot_id": new_id, "n_buckets": new_n_buckets}
 
-    def evolve_bucket_spec(self, spark: SparkSession, new_n_buckets: int) -> dict:
+    def evolve_bucket_spec(
+        self, spark: SparkSession, new_n_buckets: int,
+        auto_migrate_buckets: int | None = None,
+    ) -> dict:
         """LAZY partition-spec evolution (Iceberg's metadata-only spec
         change): switch merge/compaction write parallelism to
         `new_n_buckets` WITHOUT rewriting or even reading the table — a
@@ -1903,7 +1927,13 @@ class LakehouseTable:
         MOR tables only: COW merges rewrite whole buckets in place, which
         requires a single consistent bucket→file layout (use rebucket).
         One migration at a time: evolving again while old-spec files remain
-        would stack three live specs — finish migrate_spec first."""
+        would stack three live specs — finish migrate_spec first.
+
+        auto_migrate_buckets: opt into hands-off migration — every
+        subsequent MOR merge retires this many old-spec buckets as part of
+        its own maintenance cycle (like auto-compaction), so the migration
+        completes in ceil(old_buckets / N) batches with no operator loop;
+        the setting clears itself when the last old-spec file retires."""
         def attempt() -> dict:
             snap = self.current_snapshot()
             if snap.get("merge_mode", "cow") != "mor":
@@ -1952,6 +1982,7 @@ class LakehouseTable:
                     for b, c in snap.get("delta_depth", {}).items()
                     if c
                 },
+                "auto_migrate_buckets": auto_migrate_buckets,
                 "stats": {
                     "evolved_from": snap["n_buckets"],
                     "evolved_to": new_n_buckets,
@@ -2014,6 +2045,7 @@ class LakehouseTable:
                     "batch_id": None,
                     "specs": {str(cur_spec): snap["n_buckets"]},
                     "old_delta_depth": {},
+                    "auto_migrate_buckets": None,
                     "stats": {
                         "migrated_files": 0,
                         "migrated_buckets": 0,
@@ -2105,6 +2137,7 @@ class LakehouseTable:
             "manifests": carried,
             "delta_depth": depth,
             "old_delta_depth": {} if remaining == 0 else old_depth,
+            **({"auto_migrate_buckets": None} if remaining == 0 else {}),
             "delta_commits": max(
                 [snap.get("delta_commits", 0)] + list(depth.values())
             ),

@@ -82,6 +82,9 @@ def main() -> None:
                              "files stay readable, migrate-spec re-layouts "
                              "them incrementally")
     ev.add_argument("--n-buckets", type=int, required=True)
+    ev.add_argument("--auto-migrate-buckets", type=int, default=None,
+                    help="opt into hands-off migration: every subsequent "
+                         "merge retires this many old-spec buckets")
     mg = sub.add_parser("migrate-spec",
                         help="re-layout old-spec files under the current "
                              "spec, a bounded batch at a time")
@@ -236,7 +239,10 @@ def main() -> None:
         elif args.cmd == "rebucket":
             out = table.rebucket(spark, args.n_buckets)
         elif args.cmd == "evolve-spec":
-            out = table.evolve_bucket_spec(spark, args.n_buckets)
+            out = table.evolve_bucket_spec(
+                spark, args.n_buckets,
+                auto_migrate_buckets=args.auto_migrate_buckets,
+            )
         elif args.cmd == "migrate-spec":
             out = table.migrate_spec(spark, max_old_buckets=args.max_old_buckets)
         elif args.cmd == "rollback":

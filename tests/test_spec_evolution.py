@@ -361,6 +361,31 @@ def test_partial_mode_evolve_migrate_matches_sequential_oracle(spark, tmp_path):
     assert _frame(tbl.read(spark))["text"].tolist() == expected["text"].tolist()
 
 
+def test_auto_migrate_rides_ingest_cadence(spark, tmp_path, feed_pdf):
+    """evolve_bucket_spec(auto_migrate_buckets=N): each subsequent merge
+    retires N old-spec buckets as part of its own maintenance cycle, so
+    the migration completes hands-off after ceil(old_buckets/N) batches
+    and the setting clears itself."""
+    tbl, job = _mk(tmp_path, "t")
+    parts = _slices(feed_pdf, 4)
+    _apply(spark, job, parts[0], 0)
+
+    tbl.evolve_bucket_spec(spark, 16, auto_migrate_buckets=2)
+    assert tbl.current_snapshot()["auto_migrate_buckets"] == 2
+
+    for i, p in enumerate(parts[1:], start=1):
+        _apply(spark, job, p, i)
+
+    snap = tbl.current_snapshot()
+    assert tbl.table_specs(snap) == {1: 16}, "3 batches retire 4 old buckets at 2/merge"
+    assert not tbl._mixed_spec(snap)
+    assert snap.get("auto_migrate_buckets") is None, "setting clears on completion"
+    assert any(s["kind"] == "migrate_spec" for s in tbl.history())
+
+    oracle = reduce_feed(feed_pdf)
+    assert _frame(tbl.read(spark))["text"].tolist() == oracle["text"].tolist()
+
+
 def test_overwrite_mid_migration_collapses_spec_list(spark, tmp_path, feed_pdf):
     """A full load (initsync overwrite) retires every pre-existing file —
     no old-spec file can survive it — so it must also retire old specs
