@@ -1353,6 +1353,7 @@ class LakehouseTable:
             # registered forever)
             "specs": {str(self.spec_id(snap)): snap["n_buckets"]},
             "old_delta_depth": {},
+            "auto_migrate_buckets": None,
             **(
                 {"watermark_lsn": max(snap.get("watermark_lsn") or 0, watermark_lsn)}
                 if watermark_lsn is not None
@@ -1430,7 +1431,14 @@ class LakehouseTable:
             # (decode → collapse → bucketed write, no persist, no probe
             # job), then lineage metrics and the watermark come from a
             # thin-column scan of the just-written delta files.
-            return self._merge_mor(spark, snap, batch_id, changes)
+            result = self._merge_mor(spark, snap, batch_id, changes)
+            # Auto-migration piggybacked on every committed merge —
+            # including noop commits (watermark-filtered / fully-duplicate
+            # batches), so a replay run still makes migration progress.
+            mig = self._maybe_auto_migrate(spark, snap)
+            if mig:
+                result["spec_migration"] = mig
+            return result
 
         # COW needs the affected-bucket set BEFORE reading existing buckets:
         # tiny probe collect, or caller-provided (the ingest loop folds it
@@ -1547,31 +1555,31 @@ class LakehouseTable:
         if rewrite_every and not compacted:
             if len(self.current_snapshot().get("manifests", [])) >= rewrite_every:
                 rewrote = not self.rewrite_manifests().get("skipped", True)
-        # Auto-migration piggybacked on ingest cadence (opt-in via
-        # evolve_bucket_spec(auto_migrate_buckets=N)): each merge retires N
-        # old-spec buckets, so a spec migration completes in
-        # ceil(old_buckets / N) batches with NO separate orchestration and
-        # strictly bounded extra work per batch. The guard costs one dict
-        # get on tables that never evolved.
-        migration = None
-        amb = snap.get("auto_migrate_buckets")
-        if amb and len(self.table_specs(self.current_snapshot())) > 1:
-            try:
-                r = self.migrate_spec(spark, max_old_buckets=amb)
-            except CommitConflictError:
-                # the merge itself is committed; a contended migrate chunk
-                # just waits for the next batch's cycle
-                r = {"skipped": True}
-            if not r.get("skipped"):
-                migration = {
-                    "migrated_files": r["migrated_files"],
-                    "remaining_old_files": r["remaining_old_files"],
-                }
         return {"skipped": False, "batch_id": batch_id, "snapshot_id": new_id,
                 "affected_buckets": len(bucket_metrics), "compacted": compacted,
                 "manifests_rewritten": rewrote,
-                **({"spec_migration": migration} if migration else {}),
                 "bucket_metrics": bucket_metrics}
+
+    def _maybe_auto_migrate(self, spark, snap: dict) -> dict | None:
+        """One SINGLE-SHOT migrate chunk per committed merge when
+        `auto_migrate_buckets` is armed (set by evolve_bucket_spec; see
+        its docstring). Exactly one attempt, no retry loop: a lost CAS
+        abandons this chunk and the next batch's cycle picks it up — the
+        ingest hot path must never sit in migrate backoff sleeps. The
+        guard costs one dict get on tables that never evolved."""
+        amb = snap.get("auto_migrate_buckets")
+        if not amb or len(self.table_specs(self.current_snapshot())) <= 1:
+            return None
+        try:
+            r = self._migrate_spec_once(spark, max_old_buckets=amb)
+        except CommitConflictError:
+            return None
+        if r.get("skipped"):
+            return None
+        return {
+            "migrated_files": r["migrated_files"],
+            "remaining_old_files": r["remaining_old_files"],
+        }
 
     def _merge_cow(self, spark, snap, batch_id, changes, affected, new_watermark) -> dict:
         """Copy-on-write: reconcile + rewrite only the affected buckets."""
@@ -1891,6 +1899,7 @@ class LakehouseTable:
             "spec_id": new_spec,
             "specs": {str(new_spec): new_n_buckets},
             "old_delta_depth": {},
+            "auto_migrate_buckets": None,
             "delta_commits": 0,
             "manifests": [self._write_manifest(new_id, entries)] if entries else [],
             "delta_depth": {},
@@ -1934,6 +1943,12 @@ class LakehouseTable:
         its own maintenance cycle (like auto-compaction), so the migration
         completes in ceil(old_buckets / N) batches with no operator loop;
         the setting clears itself when the last old-spec file retires."""
+        if auto_migrate_buckets is not None and auto_migrate_buckets < 1:
+            raise ValueError(
+                f"auto_migrate_buckets must be >= 1, got {auto_migrate_buckets} "
+                "(0 would record an armed setting that never migrates)"
+            )
+
         def attempt() -> dict:
             snap = self.current_snapshot()
             if snap.get("merge_mode", "cow") != "mor":
@@ -1982,7 +1997,11 @@ class LakehouseTable:
                     for b, c in snap.get("delta_depth", {}).items()
                     if c
                 },
-                "auto_migrate_buckets": auto_migrate_buckets,
+                # an empty table collapses specs immediately (above): never
+                # leave an armed setting with no migration to run
+                "auto_migrate_buckets": (
+                    auto_migrate_buckets if n_old_files else None
+                ),
                 "stats": {
                     "evolved_from": snap["n_buckets"],
                     "evolved_to": new_n_buckets,

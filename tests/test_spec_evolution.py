@@ -386,6 +386,30 @@ def test_auto_migrate_rides_ingest_cadence(spark, tmp_path, feed_pdf):
     assert _frame(tbl.read(spark))["text"].tolist() == oracle["text"].tolist()
 
 
+def test_auto_migrate_setting_hygiene(spark, tmp_path, feed_pdf):
+    """The armed setting must never outlive the migration it belongs to:
+    0 is rejected (it would record 'armed' but never fire), an empty-table
+    evolve collapses specs immediately so it must not arm, and an initsync
+    overwrite mid-migration clears it along with the spec list."""
+    tbl, job = _mk(tmp_path, "t")
+    with pytest.raises(ValueError, match="auto_migrate_buckets"):
+        tbl.evolve_bucket_spec(spark, 8, auto_migrate_buckets=0)
+
+    r = tbl.evolve_bucket_spec(spark, 8, auto_migrate_buckets=2)
+    snap = tbl.current_snapshot()
+    assert not r["skipped"] and tbl.table_specs(snap) == {1: 8}
+    assert snap.get("auto_migrate_buckets") is None, "empty table: nothing to migrate"
+
+    parts = _slices(feed_pdf, 2)
+    _apply(spark, job, parts[0], 0)
+    tbl.evolve_bucket_spec(spark, 16, auto_migrate_buckets=1)
+    assert tbl.current_snapshot()["auto_migrate_buckets"] == 1
+    tbl.overwrite(spark, tbl.read(spark, with_lsn=True), batch_id=1)
+    snap = tbl.current_snapshot()
+    assert tbl.table_specs(snap) == {2: 16}
+    assert snap.get("auto_migrate_buckets") is None, "overwrite retires the migration"
+
+
 def test_overwrite_mid_migration_collapses_spec_list(spark, tmp_path, feed_pdf):
     """A full load (initsync overwrite) retires every pre-existing file —
     no old-spec file can survive it — so it must also retire old specs
