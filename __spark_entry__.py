@@ -52,6 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _EXCLUDE = {
     "lww_salted_by_user", "lww_agg_by_user", "simhash_docs",
     "doc_fingerprints", "status_except_customers", "lang_source_profile",
+    # round-4 addition kept off-window (the 50 slots are full and every
+    # family already has an in-window row); oracle-checked off-window:
+    "decontaminate_docs",
 }
 _FIRST = [
     "lww_latest_by_user",            # T5 LWW dedup (flagship)

@@ -846,6 +846,49 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "decontaminate_docs",
+    f"""
+    {_SH_CTE},
+    bench AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    corp AS (
+      SELECT * FROM sh
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_contaminated_shingles
+    FROM corp c JOIN bench b USING (shingle)
+    GROUP BY 1
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram shingle with a held-out benchmark set (the standard 13-gram
+    overlap check scaled to this fixture's 3-gram shingles; a deterministic
+    md5(doc_id) split stands in for the benchmark corpus so the oracle is
+    engine-portable). Scale shape: the benchmark side (eval sets) is tiny
+    vs a 100-TB corpus, so its DISTINCT shingle set is BROADCAST and the
+    check costs one map-side semi-join + a map-side-combinable count — no
+    corpus shuffle on the raw shingles."""
+    sh = _doc_shingles(spark, sf_dir)
+    is_bench = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        )
+        == "0"
+    )
+    bench = sh.where(is_bench).select("shingle").distinct()
+    return (
+        sh.where(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_contaminated_shingles"))
+    )
+
+
 _MINHASH_SEEDS = list(range(8))
 
 
