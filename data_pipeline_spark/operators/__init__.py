@@ -4,6 +4,8 @@ corpus-preparation layer (assembly / sampling / redaction / packing)."""
 from data_pipeline_spark.operators.corpus import (  # noqa: F401
     PII_PATTERNS,
     assemble_conversations,
+    decontaminate,
+    doc_shingles,
     pack_sequences,
     redact_pii,
     snapshot_corpus,

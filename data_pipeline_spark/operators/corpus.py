@@ -159,6 +159,64 @@ def assemble_conversations(
     ).withColumn("n_chars", F.length("doc_text").cast("int"))
 
 
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (key, shingle). Pure
+    Catalyst (split + transform + explode) — the shared fragment under
+    Jaccard dedup, MinHash signatures, and decontamination."""
+    expr = (
+        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'_toks[i+{j}]' for j in range(n))})))"
+    )
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .where(F.size("_toks") >= n)
+        .select(F.col(key_col), F.explode(F.expr(expr)).alias("shingle"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "doc_text",
+    key_col: str = "conv_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Drop every document sharing ANY word n-gram shingle with the
+    benchmark set — the standard train/eval contamination guard (13-gram
+    overlap in most published pipelines; `n` is the knob). Returns the
+    clean documents, schema unchanged.
+
+    100-TB shape: eval benchmarks are tiny next to a pretraining corpus,
+    so the benchmark's DISTINCT shingle set is BROADCAST; the corpus side
+    pays one map-side hash semi-join to find contaminated keys and one
+    broadcast anti-join to drop them — no corpus shuffle on raw shingles,
+    no driver-side id materialization."""
+    bench_sh = (
+        doc_shingles(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"),
+                F.col(bench_text_col),
+            ),
+            text_col=bench_text_col, key_col="_bid", n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        doc_shingles(docs, text_col=text_col, key_col=key_col, n=n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select(key_col)
+        .distinct()
+    )
+    # the anti-join side is left unhinted: contamination is usually tiny
+    # (AQE broadcasts it at runtime) but a pathological benchmark overlap
+    # must not be forced through one executor's memory
+    return docs.join(contaminated, key_col, "left_anti")
+
+
 def snapshot_corpus(
     spark: SparkSession,
     table_path: str,
@@ -169,6 +227,9 @@ def snapshot_corpus(
     max_turns: int | None = None,
     doc_filter: str | None = None,
     tag: str | None = None,
+    benchmark: DataFrame | str | None = None,
+    benchmark_text_col: str = "text",
+    decontaminate_ngram: int = 3,
 ) -> dict:
     """Reproducible corpus export from a LIVE CDC table: pin a snapshot,
     assemble conversations, optionally redact PII, write one parquet corpus
@@ -208,6 +269,18 @@ def snapshot_corpus(
         # quality gate over the assembled (post-redaction) document columns
         # — row-local predicate, recorded in the manifest for lineage
         docs = docs.where(F.expr(doc_filter))
+    if benchmark is not None:
+        # train/eval contamination guard: drop documents sharing any word
+        # n-gram with the benchmark set (path or DataFrame); recorded in
+        # the manifest so the export's provenance names what it was
+        # screened against
+        bench_df = (
+            spark.read.parquet(benchmark) if isinstance(benchmark, str) else benchmark
+        )
+        docs = decontaminate(
+            docs, bench_df, text_col="doc_text", key_col="conv_id",
+            bench_text_col=benchmark_text_col, n=decontaminate_ngram,
+        )
     # deterministic file layout: repartition by the same md5-fraction used
     # everywhere (never round-robin — that's nondeterministic), sort within
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
@@ -227,7 +300,19 @@ def snapshot_corpus(
         "n_docs": stats["n"],
         "n_turns": stats["t"],
         "settings": {"redact": redact, "min_turns": min_turns,
-                     "max_turns": max_turns, "doc_filter": doc_filter},
+                     "max_turns": max_turns, "doc_filter": doc_filter,
+                     **(
+                         {
+                             "decontaminated_against": (
+                                 os.path.abspath(benchmark)
+                                 if isinstance(benchmark, str)
+                                 else "<dataframe>"
+                             ),
+                             "decontaminate_ngram": decontaminate_ngram,
+                         }
+                         if benchmark is not None
+                         else {}
+                     )},
         "tag": tag,
     }
     with open(os.path.join(out_path, "_corpus_manifest.json"), "w") as f:

@@ -75,6 +75,11 @@ def main() -> None:
     ce.add_argument("--doc-filter", default=None,
                     help="SQL predicate over (doc_text, n_turns, n_chars)")
     ce.add_argument("--tag", default=None)
+    ce.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark texts: documents sharing any "
+                         "word n-gram with it are dropped (decontamination)")
+    ce.add_argument("--benchmark-text-col", default="text")
+    ce.add_argument("--decontaminate-ngram", type=int, default=3)
     rb = sub.add_parser("rebucket")
     rb.add_argument("--n-buckets", type=int, required=True)
     ev = sub.add_parser("evolve-spec",
@@ -234,7 +239,9 @@ def main() -> None:
                 spark, args.table, args.out, snapshot_id=snapshot_id,
                 redact=not args.no_redact, min_turns=args.min_turns,
                 max_turns=args.max_turns, doc_filter=args.doc_filter,
-                tag=args.tag,
+                tag=args.tag, benchmark=args.benchmark,
+                benchmark_text_col=args.benchmark_text_col,
+                decontaminate_ngram=args.decontaminate_ngram,
             )
         elif args.cmd == "rebucket":
             out = table.rebucket(spark, args.n_buckets)
