@@ -143,6 +143,33 @@ def main() -> None:
     b = lazy.read(spark).orderBy("conv_id", "turn_idx")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), "arms diverge"
 
+    # ---- per-batch ingest overhead of auto-migration ------------------
+    # same post-evolve batches through an auto-migrating table and a
+    # single-spec control; the delta is what hands-off migration costs the
+    # ingest path per batch (bounded by migrate_chunk by construction)
+    auto_tbl, auto_job = build("auto")
+    ctrl_tbl, ctrl_job = build("ctrl")
+    auto_tbl.evolve_bucket_spec(
+        spark, args.to_buckets, auto_migrate_buckets=args.migrate_chunk
+    )
+    shifted = raw.withColumn("lsn", F.col("lsn") + F.lit(int(hi)))
+
+    def timed_batches(job) -> list[float]:
+        walls = []
+        for b in range(args.batches):
+            a0, z0 = lo + b * step, lo + (b + 1) * step
+            df = shifted.where((F.col("lsn") > a0 - 1 + hi) & (F.col("lsn") <= z0 + hi))
+            t0 = time.monotonic()
+            job.apply_batch(spark, 100 + b, df)
+            walls.append(round(time.monotonic() - t0, 2))
+        return walls
+
+    auto_walls = timed_batches(auto_job)
+    ctrl_walls = timed_batches(ctrl_job)
+    assert len(auto_tbl.table_specs(auto_tbl.current_snapshot())) == 1, (
+        "auto-migration must complete within the batch run"
+    )
+
     print(json.dumps({
         "metric": "spec_evolution_ab",
         "events": args.events,
@@ -158,6 +185,11 @@ def main() -> None:
         "point_read_sec": {
             "pre_evolve": pr_before, "mixed_spec": pr_mixed, "migrated": pr_after,
         },
+        "auto_migrate_batch_walls_sec": auto_walls,
+        "control_batch_walls_sec": ctrl_walls,
+        "auto_overhead_pct": round(
+            100.0 * (sum(auto_walls) / max(sum(ctrl_walls), 1e-9) - 1.0), 1
+        ),
     }))
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
