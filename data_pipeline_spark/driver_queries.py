@@ -603,11 +603,10 @@ def props_json_stats(spark, sf_dir):
 # (dedup, similarity search, text analysis, multimodal plumbing)
 # =========================================================================
 
-# Distinct word-3-gram shingles per document, as a reusable fragment.
-_SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-)
+# Distinct word-3-gram shingles per document. The Spark side delegates to
+# the one parameterized implementation (operators/corpus.doc_shingles) so a
+# tokenization tweak can't drift between dedup, MinHash, decontamination
+# and these oracle queries; the DuckDB twin below is its SQL mirror.
 _SHINGLES_DUCK = (
     "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
@@ -615,10 +614,8 @@ _SHINGLES_DUCK = (
 
 
 def _doc_shingles(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
-    return (
-        d.where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    return corpus_ops.doc_shingles(
+        _t(spark, sf_dir, "documents"), text_col="text", key_col="doc_id", n=3
     )
 
 

@@ -159,12 +159,21 @@ def assemble_conversations(
     ).withColumn("n_chars", F.length("doc_text").cast("int"))
 
 
+def _lineage_path(p: str) -> str:
+    """Record a data location in a lineage manifest: absolutize LOCAL
+    paths only — URIs (s3a://, hdfs://, …) must pass through verbatim or
+    the recorded provenance points at a nonexistent local path."""
+    return p if "://" in p else os.path.abspath(p)
+
+
 def doc_shingles(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (key, shingle). Pure
     Catalyst (split + transform + explode) — the shared fragment under
     Jaccard dedup, MinHash signatures, and decontamination."""
+    if n < 1:
+        raise ValueError(f"shingle width must be >= 1, got {n}")
     expr = (
         f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f'_toks[i+{j}]' for j in range(n))})))"
@@ -263,29 +272,36 @@ def snapshot_corpus(
     )
     if min_turns > 1:
         docs = docs.where(F.col("n_turns") >= min_turns)
+    persisted = None
+    if benchmark is not None:
+        # train/eval contamination guard, applied BEFORE redaction: the
+        # benchmark texts are raw, and redacting only the corpus side
+        # would rewrite every shingle within PII_PATTERNS reach of an
+        # email/phone/IP — a verbatim benchmark excerpt containing PII
+        # would slip the screen. Raw-vs-raw is the sound comparison.
+        # The assembled docs back BOTH sides of the screen's anti-join
+        # (shingle branch + kept branch), so persist them once.
+        bench_df = (
+            spark.read.parquet(benchmark) if isinstance(benchmark, str) else benchmark
+        )
+        persisted = docs.persist()
+        docs = decontaminate(
+            persisted, bench_df, text_col="doc_text", key_col="conv_id",
+            bench_text_col=benchmark_text_col, n=decontaminate_ngram,
+        )
     if redact:
         docs = redact_pii(docs, text_col="doc_text")
     if doc_filter:
         # quality gate over the assembled (post-redaction) document columns
         # — row-local predicate, recorded in the manifest for lineage
         docs = docs.where(F.expr(doc_filter))
-    if benchmark is not None:
-        # train/eval contamination guard: drop documents sharing any word
-        # n-gram with the benchmark set (path or DataFrame); recorded in
-        # the manifest so the export's provenance names what it was
-        # screened against
-        bench_df = (
-            spark.read.parquet(benchmark) if isinstance(benchmark, str) else benchmark
-        )
-        docs = decontaminate(
-            docs, bench_df, text_col="doc_text", key_col="conv_id",
-            bench_text_col=benchmark_text_col, n=decontaminate_ngram,
-        )
     # deterministic file layout: repartition by the same md5-fraction used
     # everywhere (never round-robin — that's nondeterministic), sort within
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
         "overwrite"
     ).parquet(out_path)
+    if persisted is not None:
+        persisted.unpersist()
     # one verification pass over the written corpus (count + turn sum in a
     # single job — parquet footer stats make this metadata-cheap)
     stats = (
@@ -304,7 +320,7 @@ def snapshot_corpus(
                      **(
                          {
                              "decontaminated_against": (
-                                 os.path.abspath(benchmark)
+                                 _lineage_path(benchmark)
                                  if isinstance(benchmark, str)
                                  else "<dataframe>"
                              ),

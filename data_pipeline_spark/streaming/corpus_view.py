@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_pipeline_spark.operators.corpus import assemble_conversations, redact_pii
+from data_pipeline_spark.operators.corpus import (
+    _lineage_path,
+    assemble_conversations,
+    decontaminate,
+    redact_pii,
+)
 from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.streaming.ingest import IngestJob
 
@@ -311,6 +316,9 @@ def export_corpus_delta(
     max_turns: int | None = None,
     doc_filter: str | None = None,
     high_churn_threshold: int = 100_000,
+    benchmark: str | None = None,
+    benchmark_text_col: str = "text",
+    decontaminate_ngram: int = 3,
 ) -> dict:
     """Incremental corpus EXPORT: ship only the documents whose
     conversations changed since the last export — the continual-pretraining
@@ -394,6 +402,18 @@ def export_corpus_delta(
     sub = os.path.join(out_dir, f"delta-{from_key}-{to_id:08d}")
     if min_turns > 1:
         docs = docs.where(F.col("n_turns") >= min_turns)
+    persisted = None
+    if benchmark is not None:
+        # same raw-vs-raw contamination screen as snapshot_corpus, BEFORE
+        # redaction; a doc that churns INTO contamination falls out of
+        # docs here and therefore emits a delete below — the delta chain
+        # stays decontaminated under updates, not just at bootstrap
+        persisted = docs.persist()
+        docs = decontaminate(
+            persisted, spark.read.parquet(benchmark),
+            text_col="doc_text", key_col="conv_id",
+            bench_text_col=benchmark_text_col, n=decontaminate_ngram,
+        )
     if redact:
         docs = redact_pii(docs, text_col="doc_text")
     if doc_filter:
@@ -401,6 +421,8 @@ def export_corpus_delta(
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
         "overwrite"
     ).parquet(os.path.join(sub, "docs.parquet"))
+    if persisted is not None:
+        persisted.unpersist()
     docs_written = spark.read.parquet(os.path.join(sub, "docs.parquet"))
     if changed_ids is None:  # bootstrap: nothing can be deleted yet
         deletes = spark.createDataFrame([], "conv_id string")
@@ -422,7 +444,15 @@ def export_corpus_delta(
         "n_deleted": n_deleted,
         "mode": mode,
         "settings": {"redact": redact, "min_turns": min_turns,
-                     "max_turns": max_turns, "doc_filter": doc_filter},
+                     "max_turns": max_turns, "doc_filter": doc_filter,
+                     **(
+                         {
+                             "decontaminated_against": _lineage_path(benchmark),
+                             "decontaminate_ngram": decontaminate_ngram,
+                         }
+                         if benchmark is not None
+                         else {}
+                     )},
     }
     # manifest last, atomically: its presence IS the dir's completion marker
     mpath = os.path.join(sub, "_delta_manifest.json")

@@ -65,6 +65,12 @@ def main() -> None:
     cd.add_argument("--doc-filter", default=None,
                     help="SQL predicate over (doc_text, n_turns, n_chars); "
                          "docs dropping below the bar emit deletes")
+    cd.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark texts; contaminated docs are "
+                         "dropped, and churning INTO contamination emits a "
+                         "delete")
+    cd.add_argument("--benchmark-text-col", default="text")
+    cd.add_argument("--decontaminate-ngram", type=int, default=3)
     ce = sub.add_parser("corpus-export",
                         help="full snapshot-pinned corpus export")
     ce.add_argument("--out", required=True)
@@ -223,6 +229,9 @@ def main() -> None:
                 spark, args.table, args.out, args.cursor,
                 redact=not args.no_redact, min_turns=args.min_turns,
                 max_turns=args.max_turns, doc_filter=args.doc_filter,
+                benchmark=args.benchmark,
+                benchmark_text_col=args.benchmark_text_col,
+                decontaminate_ngram=args.decontaminate_ngram,
             )
             out = {k: v for k, v in out.items() if k != "cursor"} | {
                 "cursor": args.cursor
