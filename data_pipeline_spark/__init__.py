@@ -35,4 +35,5 @@ from data_pipeline_spark.schemas import (  # noqa: F401
     CHANGE_EVENT_SCHEMA,
     CONTROL_SCHEMA,
     TRANSCRIPT_SCHEMA,
+    TXN_EVENT_SCHEMA,
 )

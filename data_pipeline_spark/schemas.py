@@ -28,6 +28,16 @@ CHANGE_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# Envelope extension for transaction-consistent ingest (streaming/txn.py):
+# `txn_id` is the commit ordinal of the source transaction (LogMiner
+# COMMITTED_DATA_ONLY exposes this as the commit SCN — transactions arrive
+# whole, in commit order, each spanning one contiguous LSN range). Optional:
+# feeds without it ingest exactly as before; parquet chunks lacking the
+# column read as null under this schema, which the aligner passes through.
+TXN_EVENT_SCHEMA = T.StructType(
+    CHANGE_EVENT_SCHEMA.fields + [T.StructField("txn_id", T.LongType(), nullable=True)]
+)
+
 # ---------------------------------------------------------------------------
 # Target table: multi-turn conversation transcripts (BASELINE.json input_hint)
 # MERGE key: (conv_id, turn_idx).  `_lsn` is an engine-managed hidden column

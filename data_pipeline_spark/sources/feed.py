@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA
+from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA, TXN_EVENT_SCHEMA
 
 ROLES = np.array(["user", "assistant", "system", "tool"])
 TOOLS = np.array(["search", "python", "browser", "calculator"])
@@ -56,6 +56,12 @@ class FeedSpec:
     # before any I (the reference's UPDATE-affecting-0-rows case).
     partial_updates: bool = False
     p_orphan_update: float = 0.02
+    # Source-transaction envelope (streaming/txn.py): group consecutive
+    # events into commit-ordered transactions of ~geometric(mean) size and
+    # stamp each row with its txn_id. DDL events become singleton
+    # transactions (a DDL is its own commit at the source).
+    with_txns: bool = False
+    txn_mean_size: int = 20
     ddl_lsns: dict[int, dict] = field(default_factory=dict)  # filled by generator
 
 
@@ -192,6 +198,18 @@ def generate_feed_pandas(spec: FeedSpec) -> pd.DataFrame:
     )
     payload = "{" + parts.str.replace("^,", "", regex=True) + "}"
     df.loc[idx, "payload"] = payload
+
+    if spec.with_txns:
+        # commit-ordered transactions over the LSN-ordered feed: boundary
+        # draws come LAST so every other column is identical to the same
+        # spec without txns. DDL rows (and the row after each) start fresh
+        # transactions — a DDL is its own commit at the source.
+        boundary = rng.random(n) < 1.0 / max(1, spec.txn_mean_size)
+        ddl_mask = (df["op"] == "DDL").to_numpy()
+        boundary |= ddl_mask
+        boundary |= np.roll(ddl_mask, 1)
+        boundary[0] = True
+        df["txn_id"] = np.cumsum(boundary).astype(np.int64)
     return df
 
 
@@ -210,17 +228,25 @@ def generate_feed(out_dir: str, spec: FeedSpec) -> list[str]:
     return paths
 
 
-def read_feed_batch(spark, feed_dir: str):
+def read_feed_batch(spark, feed_dir: str, with_txns: bool = False):
     """Batch read of the whole feed (used by the batch replay path)."""
-    return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed_dir)
+    schema = TXN_EVENT_SCHEMA if with_txns else CHANGE_EVENT_SCHEMA
+    return spark.read.schema(schema).parquet(feed_dir)
 
 
-def read_feed_stream(spark, feed_dir: str, max_files_per_trigger: int = 8):
+def read_feed_stream(
+    spark, feed_dir: str, max_files_per_trigger: int = 8, with_txns: bool = False
+):
     """Streaming read: ordered chunk files = log segments; offsets live in
     the Spark checkpoint (reference recovery point: the audit DB watermark —
-    data_pipeline/audit/*; ours: checkpoint + idempotent merge)."""
+    data_pipeline/audit/*; ours: checkpoint + idempotent merge).
+
+    with_txns=True reads the transaction envelope (TXN_EVENT_SCHEMA) so the
+    ingest's TxnAligner can hold batches to commit boundaries; chunks
+    written without the column read as txn_id=null (pass-through)."""
+    schema = TXN_EVENT_SCHEMA if with_txns else CHANGE_EVENT_SCHEMA
     return (
-        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(feed_dir)
     )
@@ -283,22 +309,28 @@ def generate_feed_spark(
                 '{"role":"' + pd.Series(role) + '","text":"' + text
                 + '","ts":"' + ts_str + '"}'
             )
-            yield pd.DataFrame(
-                {
-                    "lsn": lsn,
-                    "op": op,
-                    "ts": ts,
-                    "conv_id": conv_s,
-                    "turn_idx": pd.array(turn, dtype="Int32"),
-                    "payload": payload.where(dml, None),
-                }
-            )
+            cols = {
+                "lsn": lsn,
+                "op": op,
+                "ts": ts,
+                "conv_id": conv_s,
+                "turn_idx": pd.array(turn, dtype="Int32"),
+                "payload": payload.where(dml, None),
+            }
+            if spec.with_txns:
+                # locally computable commit grouping (fixed-size blocks of
+                # the LSN order): every partition derives the same global
+                # txn_id from the lsn alone — no prefix scan needed. The
+                # pandas generator keeps the geometric-size variant for
+                # correctness fixtures; this one exists for bench scale.
+                cols["txn_id"] = (lsn - 1) // max(1, spec.txn_mean_size) + 1
+            yield pd.DataFrame(cols)
 
     os.makedirs(out_dir, exist_ok=True)
     tmp = out_dir + ".spark-tmp"
     (
         spark.range(0, spec.n_events, 1, numPartitions=n_chunks)
-        .mapInPandas(gen, schema=CHANGE_EVENT_SCHEMA)
+        .mapInPandas(gen, schema=TXN_EVENT_SCHEMA if spec.with_txns else CHANGE_EVENT_SCHEMA)
         .write.mode("overwrite")
         .parquet(tmp)
     )

@@ -61,6 +61,13 @@ class IngestJob:
         ref: str | None = None,  # land batches on a BRANCH (write-audit-
         # publish): commits go to this branch head; main readers see nothing
         # until LakehouseTable(path).fast_forward(ref) publishes
+        txn_aligned: bool = False,  # hold every micro-batch to source-
+        # transaction boundaries (streaming/txn.py): the open tail txn is
+        # deferred to the next trigger, so readers never observe a torn
+        # source transaction — the reference's commit-point apply semantics
+        # (data_pipeline/applier commitpoint, SURVEY.md §2 T6). Requires the
+        # feed's txn envelope (TXN_EVENT_SCHEMA); feeds without txn_id pass
+        # through unaligned.
     ):
         assert on_error in ("abort", "quarantine")
         self.table = LakehouseTable(table_path, ref=ref)
@@ -71,6 +78,17 @@ class IngestJob:
         self.quarantine_path = quarantine_path or os.path.join(control_path, "..", "quarantine")
         self.archive_path = archive_path
         self.on_alert = on_alert
+        self.txn_aligned = txn_aligned
+        if txn_aligned:
+            from data_pipeline_spark.streaming.txn import TxnAligner
+
+            self.aligner = TxnAligner(os.path.join(control_path, "txn_spill"))
+            # the pyarrow DDL fast-probe scans the batch's WHOLE chunk files;
+            # the aligned frame is a filtered union (spill + safe prefix), so
+            # the probe would see deferred DDL early — force the exact path
+            ddl_fast_scan = False
+        else:
+            self.aligner = None
         self.ddl_fast_scan = ddl_fast_scan
         self._checkpoint_dir: str | None = None
         os.makedirs(control_path, exist_ok=True)
@@ -225,6 +243,14 @@ class IngestJob:
         def mark(label: str) -> None:
             if debug:
                 marks.append((label, time.monotonic() - t0))
+
+        if self.aligner is not None:
+            self.aligner.check_resumable(batch_id)
+            raw = self.aligner.align(spark, batch_id, raw)
+            mark("txn-align")
+        if "txn_id" in raw.columns:
+            # envelope-only column: the decode/merge path below is txn-blind
+            raw = raw.drop("txn_id")
 
         if self.archive_path:
             # raw replay archive (reference: flat-file writer between extract
@@ -425,7 +451,9 @@ class IngestJob:
             applied["n"] += 1
 
         self._checkpoint_dir = checkpoint_dir
-        stream = read_feed_stream(spark, feed_dir, max_files_per_trigger)
+        stream = read_feed_stream(
+            spark, feed_dir, max_files_per_trigger, with_txns=self.txn_aligned
+        )
         writer = (
             stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)
@@ -440,18 +468,60 @@ class IngestJob:
         feed_dir: str,
         checkpoint_dir: str,
         max_files_per_trigger: int = 8,
+        flush_txns: bool = True,
     ) -> None:
         q = self.start_stream(
             spark, feed_dir, checkpoint_dir, max_files_per_trigger, available_now=True
         )
         q.awaitTermination()
+        if self.txn_aligned and flush_txns:
+            self.flush_pending(spark)
+
+    def flush_pending(self, spark: SparkSession) -> dict:
+        """Release the still-deferred final transaction after a DRAINED feed
+        (the extractor emits only committed transactions, so a drained feed
+        ends on a commit boundary — the tail the aligner was conservatively
+        holding is complete by construction).
+
+        Exactly-once without align()'s spill protocol: the tail is an LSN
+        suffix of everything applied, so the merge's watermark filter makes
+        a crash-repeated flush a no-op; the spill is cleared only AFTER the
+        merge commits, and the flush marker makes any later same-checkpoint
+        resume fail loudly (see TxnAligner.check_resumable)."""
+        if self.aligner is None:
+            raise RuntimeError("flush_pending requires txn_aligned=True")
+        from data_pipeline_spark.schemas import TXN_EVENT_SCHEMA
+
+        got = self.aligner.newest_pending(spark, TXN_EVENT_SCHEMA)
+        if got is None:
+            return {"skipped": True, "reason": "no pending spill"}
+        _producer, tail = got
+        if tail.select("lsn").first() is None:
+            self.aligner.clear()
+            return {"skipped": True, "reason": "pending spill empty"}
+        flush_id = self.table.current_snapshot()["last_batch_id"] + 1
+        # bypass align(): hand the tail straight to the apply path
+        saved, self.aligner = self.aligner, None
+        try:
+            result = self.apply_batch(spark, flush_id, tail.drop("txn_id"))
+        finally:
+            self.aligner = saved
+        self.aligner.mark_flushed(flush_id)
+        self.aligner.clear()
+        return result
 
     # ----------------------------------------------------------- batch replay
     def replay_batch(self, spark: SparkSession, feed_dir: str, batch_id: int = 0) -> dict:
         """Whole-feed batch replay (no streaming machinery) — the minimum
-        slice (SURVEY.md §7 M1) and the initsync-style bulk path."""
-        raw = read_feed_batch(spark, feed_dir)
-        return self.apply_batch(spark, batch_id, raw)
+        slice (SURVEY.md §7 M1) and the initsync-style bulk path. A
+        txn-aligned job still defers the feed's final transaction during the
+        apply (align can't know the batch is the whole feed), so the replay
+        flushes it immediately after — one extra tiny merge."""
+        raw = read_feed_batch(spark, feed_dir, with_txns=self.txn_aligned)
+        result = self.apply_batch(spark, batch_id, raw)
+        if self.txn_aligned:
+            self.flush_pending(spark)
+        return result
 
     def reprocess_quarantine(
         self, spark: SparkSession, batch_id: int, batches: list[int] | None = None

@@ -41,11 +41,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_spark.plans.table_format import LakehouseTable
-from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA
+from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA, TXN_EVENT_SCHEMA
 from data_pipeline_spark.streaming.ingest import IngestJob
 
 MULTI_EVENT_SCHEMA = T.StructType(
     [T.StructField("table_name", T.StringType(), False)] + CHANGE_EVENT_SCHEMA.fields
+)
+
+# transaction-envelope variant (streaming/txn.py): global commit ordinals —
+# one source transaction may span several tables' events
+MULTI_TXN_EVENT_SCHEMA = T.StructType(
+    [T.StructField("table_name", T.StringType(), False)] + TXN_EVENT_SCHEMA.fields
 )
 
 
@@ -66,6 +72,14 @@ class MultiTableIngestJob:
         # None disables dynamic registration (strict static allowlist)
         create_defaults: dict | None = None,  # n_buckets/merge_mode/... for creates
         apply_concurrency: int = 8,  # per-table apply jobs submitted at once
+        txn_aligned: bool = False,  # hold router batches to SOURCE-transaction
+        # boundaries (streaming/txn.py): txn ids are global across tables
+        # (like Oracle SCN), so one aligner guards the whole feed and a
+        # transaction spanning several tables is deferred/released as a unit
+        catalog_path: str | None = None,  # publish ONE atomic {table ->
+        # snapshot_id} catalog version per batch AFTER every table committed:
+        # catalog readers never observe a torn cross-table state, even after
+        # a crash between per-table commits (TxnCatalog)
         **ingest_kwargs,
     ):
         self.active = set(active) if active is not None else set(tables)
@@ -73,6 +87,18 @@ class MultiTableIngestJob:
         self.table_root = table_root
         self.create_defaults = dict(create_defaults or {})
         self.apply_concurrency = apply_concurrency
+        if txn_aligned:
+            from data_pipeline_spark.streaming.txn import TxnAligner
+
+            self.aligner = TxnAligner(os.path.join(control_root, "txn_spill"))
+        else:
+            self.aligner = None
+        if catalog_path is not None:
+            from data_pipeline_spark.streaming.txn import TxnCatalog
+
+            self.catalog = TxnCatalog(catalog_path)
+        else:
+            self.catalog = None
         # sub-jobs never probe for DDL themselves: the router's single sweep
         # hands each one its rows (ddl_rows=[...] below)
         ingest_kwargs.setdefault("ddl_fast_scan", False)
@@ -112,6 +138,14 @@ class MultiTableIngestJob:
 
     # -------------------------------------------------------------- one batch
     def apply_batch(self, spark: SparkSession, batch_id: int, raw: DataFrame) -> dict:
+        if self.aligner is not None:
+            # ONE global alignment for the whole feed (txn ids are global,
+            # a transaction may span tables): per-table slices below are
+            # therefore all cut at the same commit boundary.
+            self.aligner.check_resumable(batch_id)
+            raw = self.aligner.align(spark, batch_id, raw)
+        if "txn_id" in raw.columns:
+            raw = raw.drop("txn_id")
         # ONE materialization of the micro-batch per trigger; every sub-job
         # routes from this cache (the DDL sweep is its first action, so the
         # cache fills exactly once).
@@ -170,11 +204,31 @@ class MultiTableIngestJob:
 
             workers = max(1, min(self.apply_concurrency, len(self.jobs)))
             if workers == 1:
-                return dict(one(item) for item in self.jobs.items())
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                return dict(ex.map(one, list(self.jobs.items())))
+                results = dict(one(item) for item in self.jobs.items())
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    results = dict(ex.map(one, list(self.jobs.items())))
+            self._publish_catalog(batch_id)
+            return results
         finally:
             cached.unpersist()
+
+    def _publish_catalog(self, batch_id: int) -> None:
+        """One atomic cross-table visibility point per batch: published only
+        after EVERY table committed, so catalog readers can never observe a
+        torn batch (or, with txn alignment on, a torn source transaction) —
+        a crash between per-table commits leaves the catalog at the previous
+        consistent point, and the resumed batch's idempotent per-table
+        no-ops republish it."""
+        if self.catalog is None:
+            return
+        self.catalog.publish(
+            batch_id,
+            {
+                name: job.table.current_snapshot()["snapshot_id"]
+                for name, job in self.jobs.items()
+            },
+        )
 
     def _alert(self, event: dict) -> None:
         """Router-level durable alert (per-table alerts live with each
@@ -235,9 +289,11 @@ class MultiTableIngestJob:
         feed_dir: str,
         checkpoint_dir: str,
         max_files_per_trigger: int = 8,
+        flush_txns: bool = True,
     ) -> None:
+        schema = MULTI_TXN_EVENT_SCHEMA if self.aligner is not None else MULTI_EVENT_SCHEMA
         stream = (
-            spark.readStream.schema(MULTI_EVENT_SCHEMA)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(feed_dir)
         )
@@ -250,3 +306,32 @@ class MultiTableIngestJob:
             .start()
         )
         q.awaitTermination()
+        if self.aligner is not None and flush_txns:
+            self.flush_pending(spark)
+
+    def flush_pending(self, spark: SparkSession) -> dict:
+        """Release the final deferred transaction after a drained feed (see
+        IngestJob.flush_pending — same contract: watermark idempotency,
+        spill cleared only after the merges commit, loud refusal of a later
+        same-checkpoint resume). The catalog (if any) publishes the flushed
+        state as one more atomic version."""
+        if self.aligner is None:
+            raise RuntimeError("flush_pending requires txn_aligned=True")
+        got = self.aligner.newest_pending(spark, MULTI_TXN_EVENT_SCHEMA)
+        if got is None:
+            return {"skipped": True, "reason": "no pending spill"}
+        _producer, tail = got
+        if tail.select("lsn").first() is None:
+            self.aligner.clear()
+            return {"skipped": True, "reason": "pending spill empty"}
+        flush_id = 1 + max(
+            job.table.current_snapshot()["last_batch_id"] for job in self.jobs.values()
+        )
+        saved, self.aligner = self.aligner, None
+        try:
+            result = self.apply_batch(spark, flush_id, tail.drop("txn_id"))
+        finally:
+            self.aligner = saved
+        self.aligner.mark_flushed(flush_id)
+        self.aligner.clear()
+        return result
