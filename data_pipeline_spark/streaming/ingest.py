@@ -246,7 +246,17 @@ class IngestJob:
 
         if self.aligner is not None:
             self.aligner.check_resumable(batch_id)
-            raw = self.aligner.align(spark, batch_id, raw)
+            batch_files = self._batch_files(raw, batch_id)
+            if ddl_rows is None:
+                # piggyback the DDL sweep on the alignment pass — one sweep
+                # serves both, and it respects the deferred region (the
+                # plain pyarrow file probe would see whole chunk files)
+                raw, ddl_rows = self.aligner.align(
+                    spark, batch_id, raw, ddl_probe=True, ddl_cap=DDL_ROW_CAP,
+                    files=batch_files,
+                )
+            else:
+                raw = self.aligner.align(spark, batch_id, raw, files=batch_files)
             mark("txn-align")
         if "txn_id" in raw.columns:
             # envelope-only column: the decode/merge path below is txn-blind

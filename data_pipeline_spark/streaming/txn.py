@@ -128,31 +128,180 @@ class TxnAligner:
                 "merge. Start a fresh stream epoch instead."
             )
 
+    # ---------------------------------------------------- driver-side fast path
+    #: fall back to the Spark path when the open-tail candidates exceed this
+    #: many rows (a single source transaction this large is pathological;
+    #: the Spark path handles it without driver memory)
+    FAST_TAIL_ROW_CAP = 2_000_000
+
+    def _align_fast(
+        self, batch_id: int, files: list[str], ddl_probe: bool
+    ) -> tuple[int | None, list[tuple[int, str]] | None] | None:
+        """Driver-side alignment over the batch's parquet chunk files plus
+        the previous spill: parquet FOOTER stats give max(txn_id) with no
+        Spark job; the open tail is extracted with a pyarrow point filter
+        (row-group stats confine the read to the last file(s)) and written
+        as the spill; the DDL probe rides the same sweep (op column only,
+        then (lsn, payload) from files that actually contain DDL, deferred
+        region excluded). Returns (mx, ddl_rows) — the caller builds the
+        safe frame — or None to fall back to the Spark path (non-local
+        files, missing stats, oversized tail)."""
+        paths = []
+        for f in files:
+            if f.startswith("file://"):
+                paths.append(f[len("file://"):])
+            elif f.startswith("file:"):
+                paths.append(f[len("file:"):])
+            elif f.startswith("/"):
+                paths.append(f)
+            else:
+                return None
+        prior = [b for b in self._pending_ids() if b < batch_id]
+        if prior:
+            sp = self._spill_path(prior[-1])
+            paths.extend(
+                os.path.join(sp, fn) for fn in os.listdir(sp) if fn.endswith(".parquet")
+            )
+        try:
+            from concurrent.futures import ThreadPoolExecutor
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            def footer(path: str):
+                pf = pq.ParquetFile(path)
+                names = pf.schema_arrow.names
+                if "txn_id" not in names:
+                    return None
+                idx = pf.schema_arrow.get_field_index("txn_id")
+                mx = None
+                for rg in range(pf.metadata.num_row_groups):
+                    meta = pf.metadata.row_group(rg)
+                    st = meta.column(idx).statistics
+                    if st is None:
+                        return None  # no stats -> Spark path
+                    if not st.has_min_max:
+                        if st.has_null_count and st.null_count == meta.num_rows:
+                            continue  # all-null row group contributes nothing
+                        return None
+                    mx = st.max if mx is None else max(mx, st.max)
+                return path, mx, pf.metadata.num_rows
+
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+                stats = list(ex.map(footer, paths))
+            if any(s is None for s in stats):
+                return None
+            maxes = [m for _, m, _ in stats if m is not None]
+            mx = max(maxes) if maxes else None
+            if mx is None:
+                return None  # txn column entirely null -> Spark pass-through
+            # open-tail extraction: only files whose footer max reaches mx
+            # can hold tail rows; the point filter prunes row groups inside
+            cand = [p for p, m, _ in stats if m == mx]
+            if sum(n for p, m, n in stats if m == mx) > self.FAST_TAIL_ROW_CAP:
+                return None
+            tails = [
+                pq.read_table(p, filters=[("txn_id", "==", mx)]) for p in cand
+            ]
+            tail = pa.concat_tables(tails, promote_options="default")
+            out_dir = self._spill_path(batch_id)
+            tmp_dir = out_dir + ".tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.makedirs(tmp_dir, exist_ok=True)
+            pq.write_table(tail, os.path.join(tmp_dir, "part-00000.parquet"))
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.replace(tmp_dir, out_dir)
+            for b in self._pending_ids():
+                if b < batch_id - 1:
+                    shutil.rmtree(self._spill_path(b), ignore_errors=True)
+
+            ddl_rows: list[tuple[int, str]] | None = None
+            if ddl_probe:
+                def probe(path: str) -> list[tuple[int, str]]:
+                    ops = pq.read_table(path, columns=["op"])["op"]
+                    if not pc.any(pc.equal(ops, "DDL")).as_py():
+                        return []
+                    t = pq.read_table(path, columns=["lsn", "op", "payload", "txn_id"])
+                    t = t.filter(
+                        pc.and_(pc.equal(t["op"], "DDL"), pc.less(t["txn_id"], mx))
+                    )
+                    return list(zip(t["lsn"].to_pylist(), t["payload"].to_pylist()))
+
+                ddl_rows = []
+                with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+                    for hits in ex.map(probe, paths):
+                        ddl_rows.extend(hits)
+            return mx, ddl_rows
+        except Exception:  # noqa: BLE001 — any read hiccup: use the Spark path
+            return None
+
     # ------------------------------------------------------------------ api
-    def align(self, spark: SparkSession, batch_id: int, df: DataFrame) -> DataFrame:
+    def align(
+        self,
+        spark: SparkSession,
+        batch_id: int,
+        df: DataFrame,
+        ddl_probe: bool = False,
+        ddl_cap: int | None = None,
+        files: list[str] | None = None,
+    ) -> DataFrame | tuple[DataFrame, list[tuple[int, str]]]:
         """Return the complete-transaction prefix of (deferred tail ∪ df);
         spill the open tail under this batch's directory.
 
         A frame without a ``txn_id`` column (or with all-null txn_ids)
         passes through unaligned — alignment is an envelope opt-in, not a
-        requirement."""
+        requirement.
+
+        ddl_probe=True piggybacks the ingest's DDL sweep on the alignment
+        aggregate (the batch is scanned ONCE for max(txn_id) + DDL count;
+        the DDL collect job runs only when the count is non-zero — DDL is
+        rare by design) and returns ``(safe, ddl_rows)`` with ddl_rows
+        drawn from the SAFE region only, so a deferred transaction's DDL
+        stays deferred with it. ddl_cap bounds the collect (up to cap+1
+        rows returned; the caller enforces its abort policy)."""
         if "txn_id" not in df.columns:
-            return df
+            return (df, None) if ddl_probe else df
+        if files:
+            fast = self._align_fast(batch_id, files, ddl_probe)
+            if fast is not None:
+                mx, fast_ddl = fast
+                prev = self.pending(spark, df.schema, batch_id)
+                full = prev.unionByName(df) if prev is not None else df
+                safe = full.where(
+                    F.col("txn_id").isNull() | (F.col("txn_id") < F.lit(mx))
+                )
+                return (safe, fast_ddl) if ddl_probe else safe
         prev = self.pending(spark, df.schema, batch_id)
         full = prev.unionByName(df) if prev is not None else df
-        # ONE tiny aggregate: the newest transaction in the window. Catalyst
-        # prunes the scan to the txn_id column.
-        mx = full.agg(F.max("txn_id")).first()[0]
+        # ONE aggregate over the batch: newest transaction + DDL presence.
+        # Catalyst prunes the scan to (txn_id, op).
+        agg = full.agg(
+            F.max("txn_id").alias("mx"),
+            F.count(F.when(F.col("op") == F.lit("DDL"), F.lit(1))).alias("n_ddl"),
+        ).first()
+        mx, n_ddl = agg["mx"], agg["n_ddl"]
         if mx is None:
             self._write_spill(batch_id, full.limit(0))
-            return full
-        # Transactions arrive whole and in commit order (contiguous LSN
-        # ranges), so everything below the newest txn is complete; the
-        # newest one may still be receiving rows -> defer it one trigger.
-        safe = full.where(F.col("txn_id").isNull() | (F.col("txn_id") < F.lit(mx)))
-        tail = full.where(F.col("txn_id") == F.lit(mx))
-        self._write_spill(batch_id, tail)
-        return safe
+            safe = full
+        else:
+            # Transactions arrive whole and in commit order (contiguous LSN
+            # ranges), so everything below the newest txn is complete; the
+            # newest one may still be receiving rows -> defer it one
+            # trigger. The tail filter is a txn_id point predicate — parquet
+            # row-group stats confine the spill-write scan to the last
+            # file(s) of the batch.
+            safe = full.where(F.col("txn_id").isNull() | (F.col("txn_id") < F.lit(mx)))
+            tail = full.where(F.col("txn_id") == F.lit(mx))
+            self._write_spill(batch_id, tail)
+        if not ddl_probe:
+            return safe
+        if not n_ddl:
+            return safe, []
+        probe = safe.where(F.col("op") == F.lit("DDL")).select("lsn", "payload")
+        if ddl_cap is not None:
+            probe = probe.limit(ddl_cap + 1)
+        return safe, [(r.lsn, r.payload) for r in probe.collect()]
 
     def newest_pending(self, spark: SparkSession, schema) -> tuple[int, DataFrame] | None:
         """(producer batch id, deferred tail) of the newest spill — the

@@ -267,6 +267,41 @@ def test_multitable_catalog_atomicity(spark, feed, tmp_path):
     assert len(pinned0) == len(expected0)
 
 
+def test_fast_path_engages_and_matches_spark_path(spark, feed_dir, tmp_path):
+    """The driver-side footer fast path must actually engage on file-backed
+    batches (spill written by pyarrow, not Spark) and produce the same safe
+    prefix + spill content as the Spark fallback."""
+    import os
+
+    from data_pipeline_spark.streaming.txn import TxnAligner
+
+    chunks = sorted(
+        os.path.join(feed_dir, f) for f in os.listdir(feed_dir) if f.endswith(".parquet")
+    )[:2]
+    fast = TxnAligner(str(tmp_path / "fast"))
+    slow = TxnAligner(str(tmp_path / "slow"))
+    for bid, chunk in enumerate(chunks):
+        df = spark.read.schema(TXN_EVENT_SCHEMA).parquet(chunk)
+        safe_fast = fast.align(spark, bid, df, files=[chunk])
+        safe_slow = slow.align(spark, bid, df)
+        # evidence the fast path ran: pyarrow writes a single part file
+        spill = str(tmp_path / "fast" / f"batch={bid}")
+        assert os.path.isdir(spill) and "part-00000.parquet" in os.listdir(spill)
+        a = safe_fast.toPandas().sort_values("lsn").reset_index(drop=True)
+        b = safe_slow.toPandas().sort_values("lsn").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        sa = (
+            spark.read.schema(TXN_EVENT_SCHEMA).parquet(spill)
+            .toPandas().sort_values("lsn").reset_index(drop=True)
+        )
+        sb = (
+            spark.read.schema(TXN_EVENT_SCHEMA)
+            .parquet(str(tmp_path / "slow" / f"batch={bid}"))
+            .toPandas().sort_values("lsn").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(sa, sb)
+
+
 def test_aligner_passthrough_without_txn_envelope(spark, tmp_path):
     """A feed without txn ids ingests exactly as before (opt-in surface)."""
     spec = FeedSpec(n_events=2_000, n_convs=80, seed=3, chunk_size=2_000)
