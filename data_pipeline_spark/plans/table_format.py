@@ -50,6 +50,7 @@ object stores the CAS comes from the catalog).
 from __future__ import annotations
 
 import bisect
+import datetime
 import json
 import os
 import time
@@ -104,6 +105,56 @@ def _is_legal_widen(frm: str, to: str) -> bool:
         need = 10 if frm == "int" else 19
         return (p2 - s2) >= need
     return (frm, to) in _WIDENS
+
+
+_STAT_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _stat_codec(type_name: str):
+    """JSON-safe encoder for a column's parquet-footer min/max, or None if
+    the type has no sound file-skipping story here. Timestamps become exact
+    epoch MICROSECONDS (integer arithmetic — `.timestamp()` would round
+    through a float and could nudge a bound the wrong way, turning the
+    prune from conservative into lossy); the session timezone is pinned UTC
+    (session.py), so naive predicate values and naive parquet stats agree.
+    Decimal is deliberately unsupported: encoding through float can round a
+    bound inward. Binary/array stats aren't comparable. Unsupported columns
+    simply never prune — correctness never depends on stats."""
+    if type_name in ("int", "long"):
+        return int
+    if type_name in ("float", "double"):
+        return float
+    if type_name == "string":
+        return str
+    if type_name == "boolean":
+        return bool
+
+    if type_name == "timestamp":
+        def enc(v: datetime.datetime) -> int:
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return (v - _STAT_EPOCH) // datetime.timedelta(microseconds=1)
+
+        return enc
+    return None
+
+
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _pred_may_match(lo, hi, op: str, v) -> bool:
+    """Can any value in [lo, hi] satisfy `x op v`? (The file-skipping
+    interval test; nulls never satisfy a predicate, so min/max over the
+    non-null values is the complete story.)"""
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    return hi >= v  # ">="
 
 
 class CommitConflictError(RuntimeError):
@@ -863,6 +914,7 @@ class LakehouseTable:
         rewrite_manifests_every: int | None = None,
         cluster_by: list[str] | None = None,
         target_file_rows: int | None = None,
+        stats_columns: list[str] | None = None,
     ) -> None:
         """Create an empty table. n_buckets bounds merge/compaction write
         parallelism — size it ≥ 4N executor cores (SURVEY.md §7 hard part c).
@@ -887,6 +939,14 @@ class LakehouseTable:
         gives file-level skipping its teeth (one unbounded file per
         bucket always spans the full range). Delta files stay unsorted
         (they're small and short-lived; compaction folds them).
+
+        stats_columns: record per-file min/max for these payload columns
+        in the manifest (Iceberg's per-column `lower_bounds`/`upper_bounds`)
+        whenever BASE files are written — the stats behind
+        `read(where=...)` predicate file skipping. Keyed by field id in
+        the manifest, so renames don't orphan old files' stats. Columns
+        whose type has no sound skipping story (decimal, binary) are
+        silently stat-less and never prune.
 
         update_mode: 'full' (every U carries the complete row image — MSSQL
         CT style; plain LWW merge) or 'partial' (an U carries only the
@@ -926,6 +986,7 @@ class LakehouseTable:
                 "rewrite_manifests_every": rewrite_manifests_every,
                 "cluster_by": cluster_by,
                 "target_file_rows": target_file_rows,
+                "stats_columns": stats_columns,
                 "delta_commits": 0,
                 "manifests": [],
                 "delta_depth": {},
@@ -974,6 +1035,7 @@ class LakehouseTable:
         self, spark: SparkSession, snap: dict, buckets: set[int] | None = None,
         keys: list[str] | None = None,
         bucket_sets: dict[int, set[int]] | None = None,
+        preds: list[tuple] | None = None,
     ) -> DataFrame | None:
         """Current live rows (with `lsn` column): base ∪ deltas reconciled by
         last-writer-wins; tombstones suppressed. None if no files.
@@ -991,6 +1053,8 @@ class LakehouseTable:
         entries = self._files(snap)
         if keys:
             entries = self._prune_by_key(entries, keys)
+        if preds:
+            entries = self._prune_by_preds(entries, preds)
         if bucket_sets is not None:
             entries = [
                 e
@@ -1033,13 +1097,30 @@ class LakehouseTable:
         with_lsn: bool = False,
         conv_ids: list[str] | None = None,
         tag: str | None = None,
+        where: list[tuple] | None = None,
+        as_of_ts=None,
     ) -> DataFrame:
         """Read the table at the current (or a past) snapshot. MOR deltas are
         reconciled here (the read-side LWW); COW tables hit the no-delta fast
         path (plain scan, no shuffle).
 
+        where: conjunctive simple predicates [(col, op, value), ...] with op
+        in =/</<=/>/>= over payload columns. Always applied as a row filter
+        AFTER reconcile (so it is exact under MOR/partial images); when the
+        table records `stats_columns` bounds, base files whose [min, max]
+        can't match are additionally skipped before any Spark I/O — see
+        _prune_by_preds for the delta-aware soundness rule. At 100 TB this
+        is the difference between "scan everything for one day's turns" and
+        reading the few files whose ts range overlaps the day (given
+        compaction has folded the delta stacks; freshly-updated buckets
+        read fully, which is exactly the correct trade).
+
         tag: read at a named ref (`tag_snapshot`) — the GC-safe way to time
         travel, since tagged snapshots survive expire_snapshots.
+
+        as_of_ts: read at the latest snapshot committed at or before this
+        wall-clock time (unix seconds or datetime; Iceberg's TIMESTAMP AS
+        OF) — resolution via snapshot_as_of, subject to retention.
 
         conv_ids: point-lookup path — prunes the scan to ONLY the buckets
         those conversations hash into (the engine's bucket-partition-pruning
@@ -1051,13 +1132,15 @@ class LakehouseTable:
         id list outgrows n_buckets (every bucket hit), the scan still
         reads only the files whose key range can match, and parquet
         row-group stats prune inside those."""
+        if sum(x is not None for x in (snapshot_id, tag, as_of_ts)) > 1:
+            raise ValueError("pass exactly one of snapshot_id / tag / as_of_ts")
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
             refs = self._refs()
             if tag not in refs:
                 raise KeyError(f"no such tag: {tag!r}")
             snapshot_id = refs[tag]["snapshot_id"]
+        if as_of_ts is not None:
+            snapshot_id = self.snapshot_as_of(as_of_ts)["snapshot_id"]
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
         bucket_sets = None
@@ -1076,15 +1159,61 @@ class LakehouseTable:
         # conv_id literals: wrong-typed bisect at best, silently dropped
         # matching files at worst
         prunable = (snap.get("cluster_by") or [None])[0] == "conv_id"
+        preds = self._parse_preds(snap, where) if where else None
         rec = self._reconciled(
-            spark, snap, bucket_sets=bucket_sets, keys=conv_ids if prunable else None
+            spark, snap, bucket_sets=bucket_sets,
+            keys=conv_ids if prunable else None, preds=preds,
         )
         if rec is None:
             return self._empty(spark, snap, with_lsn)
         if conv_ids is not None:
             rec = rec.where(F.col("conv_id").isin(*conv_ids))
+        if preds:
+            rec = rec.where(self._residual_filter(preds))
         out_cols = list(data_cols) + ([F.col("lsn").alias(LSN_COL)] if with_lsn else [])
         return rec.select(*out_cols)
+
+    @staticmethod
+    def _residual_filter(preds: list[tuple]) -> F.Column:
+        """The exact row filter for parsed predicates — always applied, so
+        file skipping is never load-bearing for correctness."""
+        import operator as _op
+
+        ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        cond = F.lit(True)
+        for col, op, val, _fid, _ev in preds:
+            cond = cond & ops[op](F.col(col), F.lit(val))
+        return cond
+
+    def plan_scan(
+        self,
+        snapshot_id: int | None = None,
+        where: list[tuple] | None = None,
+        conv_ids: list[str] | None = None,
+    ) -> dict:
+        """Dry-run the file-skipping half of read() — the Iceberg
+        scan-planning report. Returns counts only (driver-side metadata
+        walk, zero data I/O): how many files the predicates/keys kept vs
+        pruned, and how many buckets were protected from predicate pruning
+        by live delta stacks. Observability for tests and benches; read()
+        does the same pruning inline."""
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
+        entries = self._files(snap)
+        total = len(entries)
+        kept = list(entries)
+        if conv_ids and (snap.get("cluster_by") or [None])[0] == "conv_id":
+            kept = self._prune_by_key(kept, conv_ids)
+        delta_buckets = {
+            (self._entry_spec(e), e["bucket"]) for e in kept if e.get("layer") == "delta"
+        }
+        if where:
+            kept = self._prune_by_preds(kept, self._parse_preds(snap, where))
+        return {
+            "files_total": total,
+            "files_kept": len(kept),
+            "files_pruned": total - len(kept),
+            "buckets_with_deltas": len(delta_buckets),
+        }
 
     # ----------------------------------------------------------------- write
     def bucket_expr(self, n_buckets: int) -> F.Column:
@@ -1261,32 +1390,97 @@ class LakehouseTable:
         with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
             return list(ex.map(one, entries))
 
-    def _key_stats(self, entries: list[dict], key_col: str) -> list[dict]:
-        """Per-file min/max of `key_col` from parquet footers (same
-        zero-data-I/O sweep as file_stats) → `key_min`/`key_max` manifest
-        fields. Recorded at compaction time for clustered tables; on a real
-        cluster the writers would report these with the commit."""
+    def _stats_fields(self, snap: dict) -> dict[str, dict]:
+        """Resolve the table's `stats_columns` against the snapshot's
+        schema: CURRENT column name → field dict, for columns that exist
+        and whose type has a sound skipping codec. Matches former names
+        too, so a stats column configured pre-rename keeps recording after
+        the rename (field ids are the stable identity)."""
+        cols = snap.get("stats_columns") or []
+        if not cols:
+            return {}
+        fields = self._load_schema(snap["schema_id"])["fields"]
+        by_any_name: dict[str, dict] = {}
+        for f in fields:
+            by_any_name[f["name"]] = f
+            for old in f.get("former_names", []):
+                by_any_name.setdefault(old, f)
+        out: dict[str, dict] = {}
+        for c in cols:
+            f = by_any_name.get(c)
+            if f is not None and _stat_codec(f["type"]) is not None:
+                out[f["name"]] = f
+        return out
+
+    def _record_stats(self, entries: list[dict], snap: dict) -> list[dict]:
+        """Per-file column bounds from parquet FOOTERS (one threaded
+        zero-data-I/O sweep, same pattern as file_stats): `key_min`/
+        `key_max` of cluster_by[0] for clustered tables, plus
+        `col_stats: {field_id: [min, max]}` for every configured stats
+        column (Iceberg's manifest lower_bounds/upper_bounds). Recorded
+        whenever BASE files are written (overwrite / COW merge / compact /
+        rebucket / migrate); on a real cluster the writers would report
+        these with the commit. Files written under an older schema resolve
+        each field's name AT WRITE TIME via its id."""
+        key_col = (snap.get("cluster_by") or [None])[0]
+        sfields = self._stats_fields(snap)
+        if not entries or (key_col is None and not sfields):
+            return entries
+
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
+        written_names: dict[int, dict[int, str]] = {}
+
+        def name_at_write(schema_id: int, field_id: int) -> str | None:
+            if schema_id not in written_names:
+                written_names[schema_id] = {
+                    f["id"]: f["name"]
+                    for f in self._load_schema(schema_id)["fields"]
+                }
+            return written_names[schema_id].get(field_id)
+
+        # resolve every written schema up front — ThreadPoolExecutor workers
+        # must not race the cache dict through _load_schema
+        for sid in {e["schema_id"] for e in entries}:
+            name_at_write(sid, -1)
+
         def one(e: dict) -> dict:
             md = pq.ParquetFile(os.path.join(self.path, e["path"])).metadata
-            if key_col not in md.schema.names:
-                return e
-            idx = md.schema.names.index(key_col)
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            if lo is None:
-                return e
-            return {**e, "key_min": lo, "key_max": hi}
+            names = md.schema.names
 
-        if not entries:
-            return []
+            def minmax(col: str):
+                if col not in names:
+                    return None
+                idx = names.index(col)
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                return None if lo is None else (lo, hi)
+
+            out = dict(e)
+            if key_col is not None:
+                mm = minmax(key_col)
+                # key range only for JSON-safe orderable types (the merge
+                # key is a string; a timestamp cluster key still gets its
+                # bounds via col_stats' codec, not here)
+                if mm is not None and isinstance(mm[0], (str, int, float)):
+                    out["key_min"], out["key_max"] = mm
+            cs: dict[str, list] = {}
+            for f in sfields.values():
+                wname = name_at_write(e["schema_id"], f["id"])
+                mm = minmax(wname) if wname is not None else None
+                if mm is not None:
+                    enc = _stat_codec(f["type"])
+                    cs[str(f["id"])] = [enc(mm[0]), enc(mm[1])]
+            if cs:
+                out["col_stats"] = cs
+            return out
+
         with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
             return list(ex.map(one, entries))
 
@@ -1308,6 +1502,67 @@ class LakehouseTable:
             return i < len(ks) and ks[i] <= hi
 
         return [e for e in entries if hit(e)]
+
+    def _parse_preds(self, snap: dict, where) -> list[tuple]:
+        """Validate `where` ([(col, op, value), ...], conjunctive) against
+        the snapshot's schema → [(name, op, value, field_id, encoded_value)].
+        encoded_value is None when the column records no stats (the
+        predicate still residual-filters, it just never prunes)."""
+        fields = {f["name"]: f for f in self._load_schema(snap["schema_id"])["fields"]}
+        out = []
+        for p in where:
+            col, op, val = p
+            if op not in _PRED_OPS:
+                raise ValueError(f"unsupported predicate op {op!r} (one of {_PRED_OPS})")
+            if col not in fields:
+                raise KeyError(f"no such column: {col!r}")
+            if val is None:
+                raise ValueError(
+                    f"({col} {op} None) never matches any row (SQL null "
+                    "semantics) — filter nulls with isNull on the DataFrame"
+                )
+            enc = _stat_codec(fields[col]["type"])
+            out.append((col, op, val, fields[col]["id"], enc(val) if enc else None))
+        return out
+
+    def _prune_by_preds(self, entries: list[dict], preds: list[tuple]) -> list[dict]:
+        """Predicate file skipping over manifest `col_stats` (the
+        lower/upper-bounds half of Iceberg scan planning; driver-side,
+        zero I/O).
+
+        MOR soundness rule: a base file may only be skipped in a bucket
+        with NO delta files at this snapshot. In such a bucket every
+        row's current image IS its base image (the base layer holds one
+        version per key — overwrite/COW/compaction all write folded
+        output), so a file whose bounds exclude the predicate holds no
+        matching current rows. In a bucket WITH deltas, a delta row can
+        move a key's current image into the predicate range (or a stale
+        delta could win a fold whose base row was skipped), so nothing is
+        pruned there; the always-applied residual filter keeps the result
+        exact either way — stats only ever save I/O, never decide truth.
+        Delta files and files without recorded bounds are always kept."""
+        active = [(str(fid), op, ev) for (_c, op, _v, fid, ev) in preds if ev is not None]
+        if not active:
+            return entries
+        delta_buckets = {
+            (self._entry_spec(e), e["bucket"])
+            for e in entries
+            if e.get("layer") == "delta"
+        }
+
+        def keep(e: dict) -> bool:
+            if e.get("layer") == "delta":
+                return True
+            if (self._entry_spec(e), e["bucket"]) in delta_buckets:
+                return True
+            cs = e.get("col_stats") or {}
+            for fid, op, ev in active:
+                mm = cs.get(fid)
+                if mm is not None and not _pred_may_match(mm[0], mm[1], op, ev):
+                    return False
+            return True
+
+        return [e for e in entries if keep(e)]
 
     def overwrite(
         self,
@@ -1339,8 +1594,7 @@ class LakehouseTable:
             max_records_per_file=snap.get("target_file_rows"),
             spec_id=self.spec_id(snap),
         )
-        if cluster_by:
-            entries = self._key_stats(entries, cluster_by[0])
+        entries = self._record_stats(entries, snap)
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -1606,8 +1860,7 @@ class LakehouseTable:
             max_records_per_file=snap.get("target_file_rows"),
             spec_id=self.spec_id(snap),
         )
-        if cluster_by:
-            new_entries = self._key_stats(new_entries, cluster_by[0])
+        new_entries = self._record_stats(new_entries, snap)
         carried = self._carry_without_buckets(snap, new_id, affected)
         if new_entries:
             carried.append(self._write_manifest(new_id, new_entries))
@@ -1689,8 +1942,7 @@ class LakehouseTable:
                 max_records_per_file=snap.get("target_file_rows"),
                 spec_id=self.spec_id(snap),
             )
-            if cluster_by:
-                entries = self._key_stats(entries, cluster_by[0])
+            entries = self._record_stats(entries, snap)
         carried = self._carry_without_buckets(snap, new_id, sel)
         if entries:
             carried.append(self._write_manifest(new_id, entries))
@@ -1887,8 +2139,7 @@ class LakehouseTable:
                 max_records_per_file=snap.get("target_file_rows"),
                 spec_id=new_spec,
             )
-            if cluster_by:
-                entries = self._key_stats(entries, cluster_by[0])
+            entries = self._record_stats(entries, snap)
         new = {
             **snap,
             "snapshot_id": new_id,
@@ -2108,8 +2359,7 @@ class LakehouseTable:
                 max_records_per_file=snap.get("target_file_rows"),
                 spec_id=cur_spec,
             )
-            if cluster_by:
-                base_entries = self._key_stats(base_entries, cluster_by[0])
+            base_entries = self._record_stats(base_entries, snap)
             entries += base_entries
         delta_buckets: set[int] = set()
         if chosen_delta:
@@ -2278,6 +2528,23 @@ class LakehouseTable:
             f"schema-{new_schema_id}.json",
             {"schema_id": new_schema_id, "fields": fields, "last_column_id": last_column_id},
         )
+        # Table properties that NAME columns follow renames/drops, or the
+        # next compaction would sortWithinPartitions on a name that no
+        # longer resolves (and stats recording would silently stop). The
+        # remap is derived from the committed schema itself — current name
+        # per field id — so it is exact even across chained renames.
+        live_by_old: dict[str, str] = {}
+        for f in fields:
+            live_by_old[f["name"]] = f["name"]
+            for old in f.get("former_names", []):
+                live_by_old.setdefault(old, f["name"])
+
+        def remap(cols: list[str] | None) -> list[str] | None:
+            if not cols:
+                return cols
+            kept = [live_by_old[c] for c in cols if c in live_by_old]
+            return kept or None
+
         new = {
             **snap,
             "snapshot_id": self._next_id(snap),
@@ -2285,6 +2552,8 @@ class LakehouseTable:
             "kind": "ddl",
             "batch_id": None,
             "schema_id": new_schema_id,
+            "cluster_by": remap(snap.get("cluster_by")),
+            "stats_columns": remap(snap.get("stats_columns")),
             "committed_at": time.time(),
         }
         self._commit(new)
@@ -2327,6 +2596,125 @@ class LakehouseTable:
             except FileNotFoundError:
                 break
         return list(reversed(chain))
+
+    def snapshot_as_of(self, ts) -> dict:
+        """Latest RETAINED snapshot committed at or before `ts` (Iceberg's
+        `TIMESTAMP AS OF` resolution). ts: unix seconds or a datetime
+        (naive = UTC, matching the session timezone). Raises if every
+        retained snapshot is newer — the requested time has been expired
+        (or never existed); callers that must survive retention should pin
+        a tag instead (tag_snapshot)."""
+        if isinstance(ts, datetime.datetime):
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            ts = (ts - _STAT_EPOCH).total_seconds()
+        # compare at whole-microsecond resolution: committed_at comes from
+        # time.time() (sub-µs fraction) but callers legitimately round-trip
+        # it through datetime (µs-quantized) — without quantizing both
+        # sides, a µs-truncated timestamp resolves to the PREVIOUS snapshot
+        tsq = round(ts * 1e6)
+        cands = [
+            s for s in self.history()
+            if s.get("committed_at") is not None
+            and round(s["committed_at"] * 1e6) <= tsq
+        ]
+        if not cands:
+            oldest = self.history()[0]
+            raise ValueError(
+                f"no retained snapshot at or before ts={ts} "
+                f"(oldest retained committed_at={oldest.get('committed_at')})"
+            )
+        return max(cands, key=lambda s: (round(s["committed_at"] * 1e6), s["snapshot_id"]))
+
+    _INSPECT_KINDS = ("snapshots", "files", "manifests", "refs")
+
+    def inspect(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Metadata tables (Iceberg's `<table>.snapshots` / `.files` /
+        `.manifests` / `.refs`) as DataFrames, so operational queries
+        ("how many delta files per bucket", "snapshot cadence last hour",
+        "which files would a ts-range scan keep") run in Spark instead of
+        ad-hoc driver scripts. Built from the retained metadata chain —
+        O(retained snapshots/files) driver-side rows, the same bound as
+        Iceberg's own metadata tables, never touching data files."""
+        if kind == "snapshots":
+            rows = [
+                (
+                    s["snapshot_id"], s.get("parent"), s["kind"],
+                    s.get("batch_id"), s.get("watermark_lsn"),
+                    s.get("schema_id"), s.get("spec_id", 0),
+                    len(s.get("manifests") or []),
+                    datetime.datetime.fromtimestamp(
+                        s["committed_at"], tz=datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                    if s.get("committed_at") is not None else None,
+                )
+                for s in self.history()
+            ]
+            schema = T.StructType([
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("parent_id", T.LongType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("watermark_lsn", T.LongType()),
+                T.StructField("schema_id", T.IntegerType()),
+                T.StructField("spec_id", T.IntegerType()),
+                T.StructField("n_manifests", T.IntegerType()),
+                T.StructField("committed_at", T.TimestampType()),
+            ])
+            return spark.createDataFrame(rows, schema)
+        if kind == "files":
+            snap = self.current_snapshot()
+            rows = [
+                (
+                    e["path"], e["bucket"], e.get("layer", "base"),
+                    self._entry_spec(e), e.get("schema_id"),
+                    bool(e.get("is_delete", False)),
+                    e.get("key_min"), e.get("key_max"),
+                    json.dumps(e["col_stats"]) if e.get("col_stats") else None,
+                )
+                for e in self._files(snap)
+            ]
+            schema = T.StructType([
+                T.StructField("path", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("layer", T.StringType()),
+                T.StructField("spec_id", T.IntegerType()),
+                T.StructField("schema_id", T.IntegerType()),
+                T.StructField("is_delete", T.BooleanType()),
+                T.StructField("key_min", T.StringType()),
+                T.StructField("key_max", T.StringType()),
+                T.StructField("col_stats", T.StringType()),
+            ])
+            return spark.createDataFrame(rows, schema)
+        if kind == "manifests":
+            snap = self.current_snapshot()
+            rows = [
+                (m["name"], m.get("entry_count"),
+                 min(m["buckets"]) if m.get("buckets") else None,
+                 max(m["buckets"]) if m.get("buckets") else None)
+                for m in snap.get("manifests") or []
+            ]
+            schema = T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("entry_count", T.LongType()),
+                T.StructField("bucket_min", T.IntegerType()),
+                T.StructField("bucket_max", T.IntegerType()),
+            ])
+            return spark.createDataFrame(rows, schema)
+        if kind == "refs":
+            rows = [
+                (name, ref.get("type", "tag"), ref["snapshot_id"])
+                for name, ref in sorted(self._refs().items())
+            ] + [
+                (name, "branch", head) for name, head in sorted(self.branches().items())
+            ]
+            schema = T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("snapshot_id", T.LongType()),
+            ])
+            return spark.createDataFrame(rows, schema)
+        raise ValueError(f"unknown metadata table {kind!r} (one of {self._INSPECT_KINDS})")
 
     def read_changes(
         self,
@@ -2434,6 +2822,139 @@ class LakehouseTable:
         for p in out_parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _touched_key_df(
+        self, spark: SparkSession, from_id: int, to_id: int
+    ) -> DataFrame | None:
+        """Distinct merge keys touched in (from_id, to_id] — derived from
+        the window's MOR delta files (tombstones carry keys too). Returns
+        None when the key set is not derivable from deltas alone: an
+        overwrite replaces every row, a COW merge rewrites whole buckets
+        without isolating its changeset, and a rollback reverts state
+        without writing anything — those windows must diff full snapshots."""
+        chain = self.history()
+        prev_files: set[str] = {
+            e["path"]
+            for s in chain
+            if s["snapshot_id"] <= from_id
+            for e in self._files(s)
+        }
+        to_snap = self.snapshot_by_id(to_id)
+        delta_e: list[dict] = []
+        for s in chain:
+            sid = s["snapshot_id"]
+            if sid <= from_id or sid > to_id:
+                continue
+            s_files = self._files(s)
+            new_entries = [e for e in s_files if e["path"] not in prev_files]
+            prev_files.update(e["path"] for e in s_files)
+            if s["kind"] in ("overwrite", "rollback"):
+                return None
+            if s["kind"] in ("merge", "cherry-pick"):
+                d = [e for e in new_entries if e.get("layer") == "delta"]
+                if not d and new_entries:
+                    return None  # COW merge: changeset not materialized
+                delta_e.extend(d)
+            # create/ddl/compact/rebucket/rewrite_manifests/evolve_spec/
+            # migrate_spec: no logical row changes
+        if not delta_e:
+            return spark.createDataFrame(
+                [], T.StructType([f for f in self.schema_struct(to_snap).fields
+                                  if f.name in MERGE_KEY])
+            )
+        return (
+            self._read_parts(spark, to_snap, delta_e, [])
+            .select(*MERGE_KEY)
+            .distinct()
+        )
+
+    def _project_to_schema(
+        self, df: DataFrame, from_schema_id: int, to_schema_id: int
+    ) -> DataFrame:
+        """Re-project a from-schema read into the to-schema's column space
+        by FIELD ID (rename → alias, widen → cast, added → null, dropped →
+        omitted) — the same mapping _read_parts applies per file, lifted to
+        a whole DataFrame so two snapshots straddling a DDL compare in one
+        consistent shape."""
+        if from_schema_id == to_schema_id:
+            return df
+        frm = {f["id"]: f for f in self._load_schema(from_schema_id)["fields"]}
+        cols = []
+        for f in self._load_schema(to_schema_id)["fields"]:
+            g = frm.get(f["id"])
+            if g is None:
+                cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
+            else:
+                cols.append(F.col(g["name"]).cast(_spark_type(f["type"])).alias(f["name"]))
+        return df.select(*cols)
+
+    def net_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """NET changelog between two snapshots (Iceberg's
+        create_changelog_view(net_changes=true)): ONE row per merge key
+        whose live image differs between the snapshots — `_change_op` I
+        (absent→present, after-image), U (present→changed, after-image),
+        D (present→absent, before-image). Keys whose intermediate churn
+        cancels out (insert+delete, update back to the same values) emit
+        nothing. Exact under partial images, compaction inside the window,
+        and schema evolution (both sides compare in the TO snapshot's
+        schema, field-id mapped).
+
+        Plan shape: the touched-key set from the window's delta manifests
+        semi-joins BOTH snapshot reads, so cost scales with the churn, not
+        the table — two pruned scans + one full-outer join on the merge
+        key. Windows containing an overwrite, a COW merge, or a rollback
+        can't enumerate touched keys from metadata and fall back to a full
+        two-snapshot diff (documented Iceberg trade: changelog consumers
+        should run MOR)."""
+        chain_ids = [s["snapshot_id"] for s in self.history()]
+        if from_snapshot_id not in chain_ids:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not in retained history {chain_ids}"
+            )
+        to_id = to_snapshot_id if to_snapshot_id is not None else chain_ids[-1]
+        from_snap = self.snapshot_by_id(from_snapshot_id)
+        to_snap = self.snapshot_by_id(to_id)
+        before = self._project_to_schema(
+            self.read(spark, from_snapshot_id),
+            from_snap["schema_id"], to_snap["schema_id"],
+        )
+        after = self.read(spark, to_id)
+        keys = self._touched_key_df(spark, from_snapshot_id, to_id)
+        if keys is not None:
+            before = before.join(keys, on=list(MERGE_KEY), how="left_semi")
+            after = after.join(keys, on=list(MERGE_KEY), how="left_semi")
+        payload = [
+            f["name"]
+            for f in self._load_schema(to_snap["schema_id"])["fields"]
+            if f["name"] not in MERGE_KEY
+        ]
+        b = before.select(
+            *MERGE_KEY, F.lit(True).alias("_in_b"),
+            F.struct(*payload).alias("_b") if payload else F.lit(None).alias("_b"),
+        )
+        a = after.select(
+            *MERGE_KEY, F.lit(True).alias("_in_a"),
+            F.struct(*payload).alias("_a") if payload else F.lit(None).alias("_a"),
+        )
+        j = b.join(a, on=list(MERGE_KEY), how="full_outer")
+        op = (
+            F.when(F.col("_in_b").isNull(), F.lit("I"))
+            .when(F.col("_in_a").isNull(), F.lit("D"))
+            .when(F.col("_b").eqNullSafe(F.col("_a")), F.lit(None))
+            .otherwise(F.lit("U"))
+        )
+        j = j.withColumn("_change_op", op).where(F.col("_change_op").isNotNull())
+        img = F.when(F.col("_change_op") == "D", F.col("_b")).otherwise(F.col("_a"))
+        return j.select(
+            F.col("_change_op"),
+            *MERGE_KEY,
+            *[img[c].alias(c) for c in payload],
+        )
 
     def stream_changes(
         self, spark: SparkSession, max_files_per_trigger: int | None = None

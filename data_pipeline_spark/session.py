@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default) carries no usable column stats —
+        # micros is what Iceberg mandates, and it's what gives timestamp
+        # columns footer min/max for manifest col_stats file skipping
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # delta writes partition by (_bucket, _del); concurrent writers keep
         # the file sink from sorting every task by the partition columns
         .config("spark.sql.maxConcurrentOutputFileWriters", "4")
