@@ -118,12 +118,18 @@ def _stat_codec(type_name: str):
     prune from conservative into lossy); the session timezone is pinned UTC
     (session.py), so naive predicate values and naive parquet stats agree.
     Decimal is deliberately unsupported: encoding through float can round a
-    bound inward. Binary/array stats aren't comparable. Unsupported columns
+    bound inward. Float/double are deliberately unsupported: Spark SQL orders
+    NaN ABOVE every numeric value, while parquet footer min/max excludes NaN
+    (and some writers corrupt stats when NaN is present) — a file whose rows
+    include NaN could be pruned by `x > v` even though the always-applied
+    residual filter would match those rows, and a NaN predicate value poisons
+    every interval test in _pred_may_match (all comparisons False → file
+    wrongly skipped). Iceberg solves this with per-file nan_value_counts;
+    until that bookkeeping exists here, float columns residual-filter but
+    never prune. Binary/array stats aren't comparable. Unsupported columns
     simply never prune — correctness never depends on stats."""
     if type_name in ("int", "long"):
         return int
-    if type_name in ("float", "double"):
-        return float
     if type_name == "string":
         return str
     if type_name == "boolean":
@@ -1052,9 +1058,9 @@ class LakehouseTable:
         the map are dropped. Mutually exclusive."""
         entries = self._files(snap)
         if keys:
-            entries = self._prune_by_key(entries, keys)
+            entries = self._prune_by_key(entries, keys, self._field_id(snap, "conv_id"))
         if preds:
-            entries = self._prune_by_preds(entries, preds)
+            entries = self._prune_by_preds(entries, preds, snap)
         if bucket_sets is not None:
             entries = [
                 e
@@ -1202,12 +1208,12 @@ class LakehouseTable:
         total = len(entries)
         kept = list(entries)
         if conv_ids and (snap.get("cluster_by") or [None])[0] == "conv_id":
-            kept = self._prune_by_key(kept, conv_ids)
+            kept = self._prune_by_key(kept, conv_ids, self._field_id(snap, "conv_id"))
         delta_buckets = {
             (self._entry_spec(e), e["bucket"]) for e in kept if e.get("layer") == "delta"
         }
         if where:
-            kept = self._prune_by_preds(kept, self._parse_preds(snap, where))
+            kept = self._prune_by_preds(kept, self._parse_preds(snap, where), snap)
         return {
             "files_total": total,
             "files_kept": len(kept),
@@ -1242,6 +1248,14 @@ class LakehouseTable:
     @staticmethod
     def _entry_spec(e: dict) -> int:
         return e.get("spec_id", 0)
+
+    def _field_id(self, snap: dict, name: str) -> int | None:
+        """Field id of `name` in the snapshot's schema, or None."""
+        return next(
+            (f["id"] for f in self._load_schema(snap["schema_id"])["fields"]
+             if f["name"] == name),
+            None,
+        )
 
     def _mixed_spec(self, snap: dict) -> bool:
         """True while files written under a retired spec are still live —
@@ -1426,6 +1440,16 @@ class LakehouseTable:
         sfields = self._stats_fields(snap)
         if not entries or (key_col is None and not sfields):
             return entries
+        # field IDENTITY of the leading cluster column at record time: a DDL
+        # that drops cluster_by[0] promotes cluster_by[1], and files recorded
+        # before the promotion carry bounds of a DIFFERENT column under the
+        # same key_min/key_max names — _prune_by_key only trusts bounds whose
+        # key_field matches the column being pruned on
+        key_fid = next(
+            (f["id"] for f in self._load_schema(snap["schema_id"])["fields"]
+             if f["name"] == key_col),
+            None,
+        )
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1470,6 +1494,8 @@ class LakehouseTable:
                 # bounds via col_stats' codec, not here)
                 if mm is not None and isinstance(mm[0], (str, int, float)):
                     out["key_min"], out["key_max"] = mm
+                    if key_fid is not None:
+                        out["key_field"] = key_fid
             cs: dict[str, list] = {}
             for f in sfields.values():
                 wname = name_at_write(e["schema_id"], f["id"])
@@ -1485,18 +1511,29 @@ class LakehouseTable:
             return list(ex.map(one, entries))
 
     @staticmethod
-    def _prune_by_key(entries: list[dict], keys: list[str]) -> list[dict]:
+    def _prune_by_key(
+        entries: list[dict], keys: list[str], key_field_id: int | None = None
+    ) -> list[dict]:
         """File-level data skipping: drop entries whose [key_min, key_max]
         range contains none of the requested keys. Entries without recorded
         key stats (delta files, pre-clustering base files) are always kept —
         pruning is an optimization, never a correctness filter. Driver-side
         and O(files · log keys), zero I/O: the manifest-stats half of
-        Iceberg's scan planning."""
+        Iceberg's scan planning.
+
+        key_field_id: field id of the column the keys belong to. Bounds are
+        trusted ONLY when the entry's recorded `key_field` matches — a DDL
+        that drops the leading cluster column promotes cluster_by[1], and
+        files recorded before the promotion carry bounds of the OLD column;
+        comparing conv_ids against those would silently prune files that
+        contain matching rows. Mismatched or unrecorded key_field → kept."""
         ks = sorted(keys)
 
         def hit(e: dict) -> bool:
             lo, hi = e.get("key_min"), e.get("key_max")
             if lo is None or hi is None:
+                return True
+            if key_field_id is None or e.get("key_field") != key_field_id:
                 return True
             i = bisect.bisect_left(ks, lo)
             return i < len(ks) and ks[i] <= hi
@@ -1525,7 +1562,9 @@ class LakehouseTable:
             out.append((col, op, val, fields[col]["id"], enc(val) if enc else None))
         return out
 
-    def _prune_by_preds(self, entries: list[dict], preds: list[tuple]) -> list[dict]:
+    def _prune_by_preds(
+        self, entries: list[dict], preds: list[tuple], snap: dict | None = None
+    ) -> list[dict]:
         """Predicate file skipping over manifest `col_stats` (the
         lower/upper-bounds half of Iceberg scan planning; driver-side,
         zero I/O).
@@ -1540,9 +1579,23 @@ class LakehouseTable:
         delta could win a fold whose base row was skipped), so nothing is
         pruned there; the always-applied residual filter keeps the result
         exact either way — stats only ever save I/O, never decide truth.
-        Delta files and files without recorded bounds are always kept."""
+        Delta files and files without recorded bounds are always kept.
+
+        MIXED-SPEC rule: while a spec migration is in flight, merges write
+        new deltas under the CURRENT spec while unmigrated base files keep
+        the old spec — a key's delta and base then live in DIFFERENT
+        (spec, bucket) pairs, so the per-bucket delta-protection test above
+        cannot see that an old-spec base file has live deltas for its keys.
+        Pruning such a file under update_mode='partial' would fold partial
+        images without their base row (silently wrong results the residual
+        filter cannot repair). Predicate pruning is therefore disabled
+        outright whenever files of more than one spec are live (a transient
+        state bounded by migrate_spec); key/bucket pruning stay active —
+        they are row-existence-based and spec-aware respectively."""
         active = [(str(fid), op, ev) for (_c, op, _v, fid, ev) in preds if ev is not None]
         if not active:
+            return entries
+        if snap is not None and self._mixed_spec(snap):
             return entries
         delta_buckets = {
             (self._entry_spec(e), e["bucket"])
@@ -2669,7 +2722,11 @@ class LakehouseTable:
                     e["path"], e["bucket"], e.get("layer", "base"),
                     self._entry_spec(e), e.get("schema_id"),
                     bool(e.get("is_delete", False)),
-                    e.get("key_min"), e.get("key_max"),
+                    # declared StringType but _record_stats also stores
+                    # int/float bounds for numeric cluster keys — stringify
+                    # or createDataFrame raises TypeError on such tables
+                    None if e.get("key_min") is None else str(e["key_min"]),
+                    None if e.get("key_max") is None else str(e["key_max"]),
                     json.dumps(e["col_stats"]) if e.get("col_stats") else None,
                 )
                 for e in self._files(snap)
@@ -2852,8 +2909,20 @@ class LakehouseTable:
                 return None
             if s["kind"] in ("merge", "cherry-pick"):
                 d = [e for e in new_entries if e.get("layer") == "delta"]
-                if not d and new_entries:
-                    return None  # COW merge: changeset not materialized
+                # COW merge: changeset not materialized as deltas. Detect by
+                # snapshot METADATA, not file output — a COW merge whose
+                # changeset deletes every live row in its affected buckets
+                # writes ZERO new files (the folded output is empty), so
+                # `new_entries` alone would misread it as a no-op and the
+                # D rows for those keys would silently vanish from
+                # net_changes. affected_buckets > 0 is recorded by every
+                # non-skipped COW commit (_merge_cow); watermark-skipped
+                # merges record 0 and correctly fall through as no-ops.
+                if not d and (
+                    new_entries
+                    or (s.get("stats") or {}).get("affected_buckets", 0) > 0
+                ):
+                    return None
                 delta_e.extend(d)
             # create/ddl/compact/rebucket/rewrite_manifests/evolve_spec/
             # migrate_spec: no logical row changes

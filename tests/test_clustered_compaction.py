@@ -69,11 +69,12 @@ def test_clustered_equals_unclustered_and_prunes_files(spark, tmp_path):
 
     # a single-conversation point read keeps a small fraction of base files
     victim = pdf["conv_id"].iloc[0]
-    kept = cl._prune_by_key(base, [victim])
+    fid = cl._field_id(cl.current_snapshot(), "conv_id")
+    kept = cl._prune_by_key(base, [victim], fid)
     assert 1 <= len(kept) <= 2
     # the unclustered twin cannot skip anything inside the bucket
     un_base = [e for e in un._files(un.current_snapshot()) if e.get("layer") == "base"]
-    assert un._prune_by_key(un_base, [victim]) == un_base
+    assert un._prune_by_key(un_base, [victim], fid) == un_base
 
     # and the pruned point read returns exactly the full-read rows
     pd.testing.assert_frame_equal(
@@ -101,7 +102,8 @@ def test_point_read_correct_with_post_compaction_deltas(spark, tmp_path):
     deltas = [e for e in cl._files(snap) if e.get("layer") == "delta"]
     assert deltas and all("key_min" not in e for e in deltas)
     # pruning keeps every statless delta file whatever the key
-    assert cl._prune_by_key(deltas, ["conv-zzz"]) == deltas
+    fid = cl._field_id(snap, "conv_id")
+    assert cl._prune_by_key(deltas, ["conv-zzz"], fid) == deltas
 
     # LWW reconcile over (pruned base ∪ all deltas) == plain filtered read,
     # for several conversations including ones touched only by the churn
@@ -134,6 +136,7 @@ def test_initsync_writes_clustered_base(spark, tmp_path):
     base = [e for e in cl._files(cl.current_snapshot()) if e.get("layer") == "base"]
     assert len(base) > 4 and all(e.get("key_min") for e in base)
     victim = "conv-000007"
-    assert len(cl._prune_by_key(base, [victim])) <= 2
+    fid = cl._field_id(cl.current_snapshot(), "conv_id")
+    assert len(cl._prune_by_key(base, [victim], fid)) <= 2
     got = _frame(cl.read(spark, conv_ids=[victim]))
     assert len(got) == 20 and set(got["conv_id"]) == {victim}
