@@ -303,7 +303,61 @@ def main() -> None:
         result["value"] = sum(queries.values())
         result["unit"] = "sec"
 
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Emit results in two layers. The round driver keeps only the LAST
+    2000 chars of stdout and parses the last JSON line out of that tail —
+    r4's single fat line (27 query medians + a 19-query control arm + a
+    drift map) outgrew the window and the official record landed with
+    `parsed: null`. So: the FULL result goes to a side file
+    (BENCH_DETAIL.json, referenced by path) and is also printed as an
+    earlier line (survives in full stdout logs even if the side file is
+    lost); the final line is a compact summary hard-capped well under the
+    capture window, shedding optional fields rather than ever overflowing."""
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        detail_path = None
     print(json.dumps(result))
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+    }
+    for k in (
+        "tput_n",
+        "tput_4n",
+        "pair_efficiencies",
+        "median_pair_efficiency",
+        "scaling_efficiency",
+        "peak_tput_16cores",
+        "query_steal_cpu_sec",
+        "query_drift_median",
+        "replay_events",
+        "cores_n",
+        "cores_4n",
+    ):
+        if k in result:
+            compact[k] = result[k]
+    if detail_path:
+        compact["detail"] = detail_path
+    line = json.dumps(compact)
+    # 1500 = capture window (2000) minus headroom for a trailing newline
+    # and any late stray stderr/stdout the runner interleaves
+    while len(line) > 1500 and compact.get("queries"):
+        # queries is the only unbounded map; halve it (detail file keeps all)
+        q = list(compact["queries"].items())
+        compact["queries"] = dict(q[: len(q) // 2])
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
