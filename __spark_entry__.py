@@ -52,9 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _EXCLUDE = {
     "lww_salted_by_user", "lww_agg_by_user", "simhash_docs",
     "doc_fingerprints", "status_except_customers", "lang_source_profile",
-    # round-4 addition kept off-window (the 50 slots are full and every
-    # family already has an in-window row); oracle-checked off-window:
-    "decontaminate_docs",
+    # round-5 swap: decontaminate_docs moved INTO the window (it was the
+    # only LLM-ops family without a driver row); multimodal_frame_sample
+    # moved out — same stub-codec family as multimodal_decode_meta, which
+    # keeps the in-window row. Oracle-checked off-window like the rest:
+    "multimodal_frame_sample",
 }
 _FIRST = [
     "lww_latest_by_user",            # T5 LWW dedup (flagship)

@@ -53,9 +53,12 @@ def duck():
 
 
 def test_swap_set_is_covered():
-    # the three round-4 swap-outs must be in the off-window checked set
+    # the round-4 swap-outs plus round 5's (multimodal_frame_sample, which
+    # made room for decontaminate_docs) must be in the off-window checked set
     assert {"doc_fingerprints", "status_except_customers",
-            "lang_source_profile"} <= set(OFFWINDOW)
+            "lang_source_profile", "multimodal_frame_sample"} <= set(OFFWINDOW)
+    # ...and decontaminate_docs must now be gone from it (it's in-window)
+    assert "decontaminate_docs" not in OFFWINDOW
 
 
 @pytest.mark.parametrize("name", OFFWINDOW)

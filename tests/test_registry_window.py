@@ -86,6 +86,7 @@ FAMILY_QUERIES = {
     "text-langid": ["lang_id_heuristic"],
     "text-tokens": ["token_counts_regex", "vocab_top_terms"],
     "multimodal": ["multimodal_decode_meta", "multimodal_frame_sample"],
+    "decontamination": ["decontaminate_docs"],
     "corpus-assembly+redaction": ["assemble_redact_transcripts"],
     "corpus-packing": ["pack_sequences_docs"],
     "corpus-sampling/mix": ["corpus_sample_mix"],
