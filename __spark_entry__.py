@@ -83,4 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # cdc_replay_transcripts' oracle reads the deterministic feed from its
+    # fixed path; materialize it here so the SQL is runnable regardless of
+    # whether the driver executes the Spark side or the oracle side first.
+    driver_queries.ensure_replay_feed()
     return {n: driver_queries.SQL[n] for n in queries() if n in driver_queries.SQL}

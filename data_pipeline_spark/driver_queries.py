@@ -17,6 +17,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1467,33 +1468,84 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+# Fixed, repo-local home for the replay driver query's deterministic feed:
+# the DuckDB oracle reads the SAME parquet chunk files the engine replays
+# (a tempfile path would be invisible to the oracle — VERDICT r4 #3). The
+# feed is a pure function of _REPLAY_FEED_SPEC (seeded numpy, no Spark), so
+# regeneration is idempotent; _SUCCESS is written last to guard partial dirs.
+_REPLAY_FEED_SPEC = dict(n_events=5_000, n_convs=120, seed=42, chunk_size=2_500)
+_REPLAY_FEED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cdc_replay_feed",
+    "v1",
+)
+
+
+def ensure_replay_feed() -> str:
+    """Write the deterministic replay feed to its fixed path (idempotent)."""
+    from data_pipeline_spark.sources.feed import FeedSpec, generate_feed
+
+    marker = os.path.join(_REPLAY_FEED_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_feed(_REPLAY_FEED_DIR, FeedSpec(**_REPLAY_FEED_SPEC))
+        with open(marker, "w"):
+            pass
+    return _REPLAY_FEED_DIR
+
+
+@query(
+    "cdc_replay_transcripts",
+    f"""
+    WITH last AS (
+      SELECT conv_id, turn_idx, op, payload,
+             row_number() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY lsn DESC, CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC
+             ) AS rn
+      FROM read_parquet('{_REPLAY_FEED_DIR}/chunk-*.parquet')
+      WHERE op <> 'DDL'
+    )
+    SELECT conv_id,
+           CAST(turn_idx AS INT) AS turn_idx,
+           json_extract_string(payload, '$.role') AS role,
+           json_extract_string(payload, '$.text') AS text,
+           json_extract_string(payload, '$.tool') AS tool,
+           strftime(CAST(json_extract_string(payload, '$.ts') AS TIMESTAMP),
+                    '{TS_FMT_DUCK}') AS ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
 def cdc_replay_transcripts(spark, sf_dir):
     """Full engine replay on a deterministic synthetic feed: generate →
     decode (Arrow UDF) → LWW dedup → COW merge → read final table. The
-    pytest suite checks this against the pandas oracle; here it runs as a
-    rows-only driver query (DuckDB cannot see the engine's table)."""
+    DuckDB oracle reduces the SAME fixed-path feed (max-(lsn, op-rank) per
+    (conv_id, turn_idx), deletes dropped, role/text/tool/ts from the winning
+    full row image) — the engine's flagship e2e carries the identical
+    hash-match signal as every other row. The pytest suite additionally
+    checks it against the pandas oracle (reduce_feed)."""
     import tempfile
 
     from data_pipeline_spark.plans.table_format import LakehouseTable
     from data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
-    from data_pipeline_spark.sources.feed import FeedSpec, generate_feed
     from data_pipeline_spark.streaming.ingest import IngestJob
 
+    feed = ensure_replay_feed()
     root = tempfile.mkdtemp(prefix="cdc-replay-")
-    spec = FeedSpec(n_events=5_000, n_convs=120, seed=42, chunk_size=2_500)
-    generate_feed(f"{root}/feed", spec)
     LakehouseTable(f"{root}/t").create(TRANSCRIPT_SCHEMA, n_buckets=8)
     job = IngestJob(f"{root}/t", f"{root}/ctl")
-    job.replay_batch(spark, f"{root}/feed", batch_id=0)
+    job.replay_batch(spark, feed, batch_id=0)
     return (
         LakehouseTable(f"{root}/t")
         .read(spark)
-        .select("conv_id", "turn_idx", "role", "text")
-        .orderBy("conv_id", "turn_idx")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        )
     )
-
-
-Q["cdc_replay_transcripts"] = cdc_replay_transcripts
 
 
 _PAIR_COS_DUCK = (

@@ -110,10 +110,9 @@ def test_family_map_names_resolve():
 def test_oracle_keys_subset_of_queries():
     q, sql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(sql) <= set(q)
-    # only the two declared rows-only entries may lack an oracle
-    assert set(q) - set(sql) == {"cdc_replay_transcripts"} | (
-        {"simhash_docs"} & set(q)
-    )
+    # every in-window query carries a DuckDB oracle (r5: cdc_replay_transcripts
+    # gained a read_parquet oracle over its fixed-path feed — zero rows-only)
+    assert set(q) - set(sql) == set()
 
 
 def test_excluded_alternates_still_in_operator_registry():
