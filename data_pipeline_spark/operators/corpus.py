@@ -295,6 +295,13 @@ def snapshot_corpus(
         # quality gate over the assembled (post-redaction) document columns
         # — row-local predicate, recorded in the manifest for lineage
         docs = docs.where(F.expr(doc_filter))
+    # manifest stats ride the WRITE job itself (Observation = accumulator
+    # metrics over exactly the rows written) — no post-write re-read of the
+    # corpus, and the counts can never drift from what landed on disk
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_stats")
+    docs = docs.observe(obs, F.count(F.lit(1)).alias("n"), F.sum("n_turns").alias("t"))
     # deterministic file layout: repartition by the same md5-fraction used
     # everywhere (never round-robin — that's nondeterministic), sort within
     docs.repartition(F.col("conv_id")).sortWithinPartitions("conv_id").write.mode(
@@ -302,13 +309,7 @@ def snapshot_corpus(
     ).parquet(out_path)
     if persisted is not None:
         persisted.unpersist()
-    # one verification pass over the written corpus (count + turn sum in a
-    # single job — parquet footer stats make this metadata-cheap)
-    stats = (
-        spark.read.parquet(out_path)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_turns").alias("t"))
-        .first()
-    )
+    stats = obs.get
     manifest = {
         "source_table": os.path.abspath(table_path),
         "snapshot_id": snap["snapshot_id"],

@@ -1173,7 +1173,18 @@ class LakehouseTable:
         if rec is None:
             return self._empty(spark, snap, with_lsn)
         if conv_ids is not None:
-            rec = rec.where(F.col("conv_id").isin(*conv_ids))
+            if len(conv_ids) <= 1_000:
+                rec = rec.where(F.col("conv_id").isin(*conv_ids))
+            else:
+                # a 10⁴–10⁵-literal isin is a Catalyst expression bomb
+                # (multi-second analysis, giant codegen); past ~1k ids the
+                # exact filter becomes a broadcast semi-join on the same
+                # list — file/bucket pruning above already used the list
+                # driver-side, this is only the residual row filter
+                ids_df = spark.createDataFrame(
+                    [(c,) for c in conv_ids], "conv_id string"
+                )
+                rec = rec.join(F.broadcast(ids_df), "conv_id", "left_semi")
         if preds:
             rec = rec.where(self._residual_filter(preds))
         out_cols = list(data_cols) + ([F.col("lsn").alias(LSN_COL)] if with_lsn else [])
@@ -1196,17 +1207,33 @@ class LakehouseTable:
         snapshot_id: int | None = None,
         where: list[tuple] | None = None,
         conv_ids: list[str] | None = None,
+        spark: SparkSession | None = None,
     ) -> dict:
         """Dry-run the file-skipping half of read() — the Iceberg
         scan-planning report. Returns counts only (driver-side metadata
         walk, zero data I/O): how many files the predicates/keys kept vs
         pruned, and how many buckets were protected from predicate pruning
         by live delta stacks. Observability for tests and benches; read()
-        does the same pruning inline."""
+        does the same pruning inline.
+
+        Pass `spark` to additionally model read()'s BUCKET pruning for
+        `conv_ids` (the ids' bucket membership is computed by the same
+        Spark xxhash64 the write path routes with — one tiny local job;
+        without a session only key-range skipping is reported, so the
+        counts UNDERSTATE what read() skips on unclustered tables)."""
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
         entries = self._files(snap)
         total = len(entries)
         kept = list(entries)
+        if conv_ids and spark is not None:
+            bucket_sets = self._buckets_by_spec(
+                spark, conv_ids, self.table_specs(snap)
+            )
+            kept = [
+                e
+                for e in kept
+                if e["bucket"] in bucket_sets.get(self._entry_spec(e), set())
+            ]
         if conv_ids and (snap.get("cluster_by") or [None])[0] == "conv_id":
             kept = self._prune_by_key(kept, conv_ids, self._field_id(snap, "conv_id"))
         delta_buckets = {
@@ -2962,6 +2989,7 @@ class LakehouseTable:
         spark: SparkSession,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        high_churn_threshold: int = 100_000,
     ) -> DataFrame:
         """NET changelog between two snapshots (Iceberg's
         create_changelog_view(net_changes=true)): ONE row per merge key
@@ -2973,13 +3001,21 @@ class LakehouseTable:
         and schema evolution (both sides compare in the TO snapshot's
         schema, field-id mapped).
 
-        Plan shape: the touched-key set from the window's delta manifests
-        semi-joins BOTH snapshot reads, so cost scales with the churn, not
-        the table — two pruned scans + one full-outer join on the merge
-        key. Windows containing an overwrite, a COW merge, or a rollback
-        can't enumerate touched keys from metadata and fall back to a full
-        two-snapshot diff (documented Iceberg trade: changelog consumers
-        should run MOR)."""
+        Plan shape (same two-regime split as corpus_view.touched_documents,
+        picked by ONE bounded count over the window's distinct conv_ids):
+        - churn ≤ high_churn_threshold (the design point): the touched
+          conv_ids are collected and pushed into BOTH snapshot reads as
+          `conv_ids=` — bucket pruning + manifest key-range skipping make
+          the scans O(churn) FILES, not just O(churn) rows — then the exact
+          (conv_id, turn_idx) key set semi-joins the pruned reads;
+        - churn above the cap (backfill, initsync fallout): the key frame
+          semi-joins the full snapshot reads distributed — no id ever lands
+          on the driver, one pass over the table.
+        Both regimes end in one full-outer join on the merge key. Windows
+        containing an overwrite, a COW merge, or a rollback can't enumerate
+        touched keys from metadata and fall back to a full two-snapshot
+        diff (documented Iceberg trade: changelog consumers should run
+        MOR)."""
         chain_ids = [s["snapshot_id"] for s in self.history()]
         if from_snapshot_id not in chain_ids:
             raise ValueError(
@@ -2988,12 +3024,23 @@ class LakehouseTable:
         to_id = to_snapshot_id if to_snapshot_id is not None else chain_ids[-1]
         from_snap = self.snapshot_by_id(from_snapshot_id)
         to_snap = self.snapshot_by_id(to_id)
+        keys = self._touched_key_df(spark, from_snapshot_id, to_id)
+        conv_ids = None
+        if keys is not None:
+            # bounded regime probe (limit early-exits at the cap; only a
+            # number ships to the driver), then the point path collects its
+            # ≤ threshold conv_ids for manifest-level file skipping (keys
+            # recomputes per action — it reads only the window's delta
+            # files, deliberately not cached into executor memory)
+            convs = keys.select("conv_id").distinct()
+            probe = min(high_churn_threshold + 1, 2**31 - 1)
+            if convs.limit(probe).count() <= high_churn_threshold:
+                conv_ids = [r["conv_id"] for r in convs.collect()]
         before = self._project_to_schema(
-            self.read(spark, from_snapshot_id),
+            self.read(spark, from_snapshot_id, conv_ids=conv_ids),
             from_snap["schema_id"], to_snap["schema_id"],
         )
-        after = self.read(spark, to_id)
-        keys = self._touched_key_df(spark, from_snapshot_id, to_id)
+        after = self.read(spark, to_id, conv_ids=conv_ids)
         if keys is not None:
             before = before.join(keys, on=list(MERGE_KEY), how="left_semi")
             after = after.join(keys, on=list(MERGE_KEY), how="left_semi")

@@ -321,12 +321,33 @@ class TxnAligner:
         for b in self._pending_ids():
             shutil.rmtree(self._spill_path(b), ignore_errors=True)
 
+    def discard(self, batch_id: int) -> None:
+        """Roll the aligner back to the state BEFORE `batch_id`: drop its
+        spill (and any newer one). The audit-discard path needs this — a
+        WAP reset_branch erases the batch's merge, and the batch's open
+        tail (computed from the now-discarded events) must not be prepended
+        to the next batch or the discarded data leaks into a later commit.
+        Deleting the spill FIRST keeps the crash window safe: a crash after
+        the delete but before the branch reset leaves a state the retried
+        discard (or a re-audit) converges from, never one where discarded
+        events can still reach a commit."""
+        for b in self._pending_ids():
+            if b >= batch_id:
+                shutil.rmtree(self._spill_path(b), ignore_errors=True)
+
     def _write_spill(self, batch_id: int, tail: DataFrame) -> None:
         tail.write.mode("overwrite").parquet(self._spill_path(batch_id))
         # GC: replay can only redeliver the LAST unconfirmed batch, which
         # needs the newest spill < batch_id; everything older is dead.
-        for b in self._pending_ids():
-            if b < batch_id - 1:
+        # "Newest prior" by ID, not batch_id-1: an audit discard leaves a
+        # GAP in the spill ids (its spill rolled back), and the spill this
+        # batch just consumed — which its own redelivery must re-read —
+        # sits more than one id back.
+        ids = self._pending_ids()
+        prior = [b for b in ids if b < batch_id]
+        keep = {batch_id} | ({prior[-1]} if prior else set())
+        for b in ids:
+            if b not in keep:
                 shutil.rmtree(self._spill_path(b), ignore_errors=True)
 
 

@@ -195,6 +195,11 @@ class WapIngestJob:
         )
         if not report.get("ok"):
             if pre_batch_id is not None:
+                # with txn alignment on, the discarded batch's open-tail
+                # spill must roll back WITH the branch (spill first — see
+                # TxnAligner.discard for the crash-window argument)
+                if batch_id is not None and self.job.aligner is not None:
+                    self.job.aligner.discard(batch_id)
                 self.branch.reset_branch(pre_batch_id)
             self.job._alert({
                 "kind": "audit_failed", "batch_id": batch_id,

@@ -203,6 +203,52 @@ def test_net_changes_overwrite_fallback(spark, tmp_path):
     assert (got["_change_op"] == "U").sum() == 5
 
 
+def test_net_changes_regime_split(spark, tmp_path):
+    """Point regime (default: conv_ids collected, file-skipping read) and
+    high-churn regime (threshold=0: distributed semi-join, nothing on the
+    driver) must produce the identical changelog; the point regime's scans
+    must actually skip files (bucket pruning on the touched conv_ids)."""
+    pdf = generate_feed_pandas(FeedSpec(n_events=4_000, n_convs=60, seed=37))
+    # cluster_by records per-file conv_id ranges, so plan_scan can SHOW the
+    # key-range skipping (bucket pruning happens in read() on any table but
+    # is invisible to the driver-side dry run)
+    t, job = _mk(spark, tmp_path, "n5", compact_every=10**9,
+                 cluster_by=["conv_id"], target_file_rows=200)
+    _apply(spark, job, pdf, 0)
+    # compaction lays out small conv_id-sorted files with narrow recorded
+    # key ranges — the state where key-range skipping has bite
+    t.compact(spark)
+    sid_a = t.current_snapshot()["snapshot_id"]
+    live = reduce_feed(pdf)
+    hi = int(pdf["lsn"].max())
+    one = live.iloc[3]  # single-conversation churn
+    churn = pd.DataFrame([
+        {"lsn": hi + 1, "op": "U", "ts": None, "conv_id": one["conv_id"],
+         "turn_idx": int(one["turn_idx"]),
+         "payload": json.dumps({"role": "assistant", "text": "regime",
+                                "tool": None, "ts": None})},
+    ])
+    _apply(spark, job, churn, 1)
+    sid_b = t.current_snapshot()["snapshot_id"]
+
+    point = _got(t.net_changes(spark, sid_a, sid_b))
+    semi = _got(t.net_changes(spark, sid_a, sid_b, high_churn_threshold=0))
+    pd.testing.assert_frame_equal(point, semi, check_dtype=False)
+    assert len(point) == 1 and point.iloc[0]["text"] == "regime"
+
+    # the point path's conv_ids= read skips files: one touched conv_id maps
+    # to one bucket, so of the base files (one per non-empty bucket) only
+    # that bucket's survive scan planning
+    plan = t.plan_scan(snapshot_id=sid_a, conv_ids=[one["conv_id"]])
+    assert plan["files_pruned"] > 0
+    assert plan["files_kept"] < plan["files_total"]
+    # with a session, plan_scan also models read()'s bucket pruning — at
+    # least as sharp as the metadata-only (key-range) report
+    full = t.plan_scan(snapshot_id=sid_a, conv_ids=[one["conv_id"]], spark=spark)
+    assert full["files_kept"] <= plan["files_kept"]
+    assert full["files_kept"] >= 1
+
+
 def test_touched_keys_scale_with_churn(spark, tmp_path):
     """The semi-join path: touched keys == churned keys, not table keys."""
     pdf = generate_feed_pandas(FeedSpec(n_events=4_000, n_convs=60, seed=31))

@@ -315,3 +315,68 @@ def test_aligner_passthrough_without_txn_envelope(spark, tmp_path):
     actual = _table_state(spark, tbl)
     expected = reduce_feed(pfeed)
     assert actual["text"].tolist() == expected["text"].tolist()
+
+
+def test_audit_discard_rolls_back_aligner_spill(spark, tmp_path):
+    """WAP audit-discard × txn alignment: a poisoned batch's open-tail
+    spill must roll back WITH the branch reset — otherwise the discarded
+    batch's deferred events are prepended to the NEXT batch and the poison
+    leaks into a later published commit. Also pins the spill GC across the
+    resulting batch-id gap (redelivery of the post-discard batch must still
+    find the pre-discard spill)."""
+    from data_pipeline_spark.streaming.wap import (
+        AuditFailedError,
+        WapIngestJob,
+        audit_changes_clean,
+    )
+
+    def chunked_txn_feed(n_chunks, per_chunk, seed0):
+        out, lsn0, txn0 = [], 0, 0
+        for i in range(n_chunks):
+            pdf = generate_feed_pandas(
+                FeedSpec(n_events=per_chunk, n_convs=60, seed=seed0 + i,
+                         with_txns=True, txn_mean_size=15)
+            )
+            pdf["lsn"] = pdf["lsn"] + lsn0
+            pdf["txn_id"] = pdf["txn_id"] + txn0
+            lsn0 = int(pdf["lsn"].max())
+            txn0 = int(pdf["txn_id"].max())
+            out.append(pdf)
+        return out
+
+    chunks = chunked_txn_feed(4, 1_200, seed0=411)
+    # poison chunk 2 — every one of its events must vanish, INCLUDING the
+    # ones the aligner would defer into batch 3
+    chunks[2]["payload"] = chunks[2]["payload"].str.replace(
+        "turn", "POISON", regex=False
+    )
+
+    tbl = str(tmp_path / "t")
+    LakehouseTable(tbl).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    wap = WapIngestJob(
+        tbl, str(tmp_path / "ctl"),
+        audit=audit_changes_clean("text", "POISON"),
+        txn_aligned=True,
+    )
+
+    for bid in (0, 1):
+        wap.apply_batch(spark, bid, spark.createDataFrame(chunks[bid], TXN_EVENT_SCHEMA))
+    with pytest.raises(AuditFailedError):
+        wap.apply_batch(spark, 2, spark.createDataFrame(chunks[2], TXN_EVENT_SCHEMA))
+    # the discarded batch's spill is gone; batch 1's spill survives the gap
+    assert wap.job.aligner._pending_ids() == [1]
+    wap.apply_batch(spark, 3, spark.createDataFrame(chunks[3], TXN_EVENT_SCHEMA))
+    # GC across the gap: batch 3's write must keep spill 1 (its redelivery
+    # input), not blindly drop everything < batch_id - 1
+    assert 1 in wap.job.aligner._pending_ids()
+
+    # drain: flush the held tail, publish it
+    wap.job.flush_pending(spark)
+    wap.try_publish(spark)
+
+    final = _table_state(spark, tbl)
+    expected = reduce_feed(
+        pd.concat([chunks[0], chunks[1], chunks[3]], ignore_index=True)
+    )
+    assert final["text"].tolist() == expected["text"].tolist()
+    assert not final["text"].str.contains("POISON").any()
