@@ -57,6 +57,10 @@ _EXCLUDE = {
     # moved out — same stub-codec family as multimodal_decode_meta, which
     # keeps the in-window row. Oracle-checked off-window like the rest:
     "multimodal_frame_sample",
+    # round-5 addition past the 50-cap: Gopher repetition filters — the
+    # quality family's in-window row stays doc_quality_scores; this one is
+    # oracle-checked off-window (tests/test_offwindow_queries.py):
+    "doc_repetition_scores",
 }
 _FIRST = [
     "lww_latest_by_user",            # T5 LWW dedup (flagship)

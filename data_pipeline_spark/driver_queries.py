@@ -1206,6 +1206,54 @@ def doc_quality_scores(spark, sf_dir):
 
 
 @query(
+    "doc_repetition_scores",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+      WHERE len(t) >= 2
+    ),
+    gcounts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    gstats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS INT) AS n_ngrams,
+             ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_ngram_frac,
+             ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) * 1.0 / SUM(c), 4)
+               AS dup_ngram_frac
+      FROM gcounts GROUP BY doc_id
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+      FROM toks
+    ),
+    isl AS (
+      SELECT doc_id, tok,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+      FROM tokpos
+    ),
+    runs AS (SELECT doc_id, COUNT(*) AS rl FROM isl GROUP BY doc_id, tok, grp),
+    rstats AS (SELECT doc_id, CAST(MAX(rl) AS INT) AS max_token_run FROM runs GROUP BY doc_id)
+    SELECT g.doc_id, g.n_ngrams, g.top_ngram_frac, g.dup_ngram_frac, r.max_token_run
+    FROM gstats g JOIN rstats r USING (doc_id)
+    """,
+)
+def doc_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (operators/corpus.repetition_profile):
+    top-2-gram fraction, duplicate-2-gram fraction, longest identical-token
+    run. The oracle rebuilds the same numbers the heavy way (unnest →
+    group counts / gaps-and-islands windows); the Spark side is a zero-
+    shuffle sorted-array run-length fold — the algorithmic point at 100 TB:
+    within-document statistics never justify an Exchange."""
+    d = corpus_ops.repetition_profile(
+        _t(spark, sf_dir, "documents"), text_col="text", n=2
+    )
+    return d.where(F.col("n_ngrams") > 0).select(
+        "doc_id", "n_ngrams", "top_ngram_frac", "dup_ngram_frac", "max_token_run"
+    )
+
+
+@query(
     "lang_source_profile",
     """
     SELECT lang, source,

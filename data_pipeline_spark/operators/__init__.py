@@ -8,6 +8,7 @@ from data_pipeline_spark.operators.corpus import (  # noqa: F401
     doc_shingles,
     pack_sequences,
     redact_pii,
+    repetition_profile,
     snapshot_corpus,
     stratified_sample,
     upsample_by_weight,

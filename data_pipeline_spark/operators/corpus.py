@@ -73,6 +73,102 @@ def upsample_by_weight(
     )
 
 
+def _run_length_fold(arr, size_col):
+    """Max run length and total rows-in-runs>1 over a SORTED string array,
+    as ONE F.aggregate fold — struct accumulator (prev, run, maxrun, dupn).
+    Returns (maxrun, dupn) columns. The finish lambda folds the last run."""
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        closed_dup = F.when(
+            (x != acc["prev"]) & (acc["run"] > 1), acc["run"]
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["dupn"] + closed_dup).alias("dupn"),
+        )
+
+    def _finish(acc):
+        return F.struct(
+            acc["maxrun"].alias("maxrun"),
+            (
+                acc["dupn"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+            ).alias("dupn"),
+        )
+
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dupn"),
+    )
+    res = F.aggregate(arr, zero, _step, _finish)
+    return res["maxrun"], res["dupn"]
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    token_sep: str = " ",
+    line_sep: str = "\n",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style intra-document repetition features (Rae et al. 2021,
+    public paper): the standard web-corpus quality gate that drops docs
+    dominated by boilerplate (repeated nav lines) or degenerate loops
+    (repeated n-grams, "the the the ...").
+
+    Appends, per row:
+      n_ngrams          — number of token n-grams (docs with < n tokens: 0)
+      top_ngram_frac    — occurrences of the single most frequent n-gram
+                          over n_ngrams (Gopher's top-n-gram fraction)
+      dup_ngram_frac    — fraction of n-grams whose n-gram occurs ≥ 2×
+      max_token_run     — longest run of IDENTICAL consecutive tokens
+      dup_line_frac     — fraction of lines that repeat an earlier line
+      dup_line_char_frac— chars in those excess line occurrences / all
+                          line chars (the excess-occurrence variant: a
+                          line's FIRST occurrence is legitimate content)
+
+    100-TB design: everything is a row-LOCAL Catalyst expression — the
+    n-gram histogram is a sorted-array run-length fold (F.aggregate with a
+    struct accumulator), NOT explode → groupBy(doc, gram), which would
+    shuffle |corpus| × |grams/doc| rows just to count within-row. Zero
+    Exchanges; the whole profile rides one WholeStageCodegen/project stage
+    and composes with stratified_sample's scan-level filters."""
+    toks = F.split(F.col(text_col), token_sep)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(F.size(toks) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            token_sep, *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    d = df.withColumn("_sg", F.array_sort(grams))
+    top_g, dup_g = _run_length_fold(F.col("_sg"), F.size("_sg"))
+    # max consecutive identical-token run folds the UNSORTED token array
+    max_run, _ = _run_length_fold(toks, F.size(toks))
+    lines = F.filter(F.split(F.col(text_col), line_sep), lambda x: x != "")
+    dlines = F.array_distinct(lines)
+    line_chars = F.length(F.concat_ws("", lines))
+    dup_chars = line_chars - F.length(F.concat_ws("", dlines))
+    ng = F.size("_sg")
+    return d.select(
+        *df.columns,
+        ng.alias("n_ngrams"),
+        F.when(ng > 0, F.round(top_g / ng, 4)).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
+        F.when(ng > 0, F.round(dup_g / ng, 4)).otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+        F.when(F.size(toks) > 0, max_run).otherwise(F.lit(0)).alias("max_token_run"),
+        F.when(
+            F.size(lines) > 0,
+            F.round((F.size(lines) - F.size(dlines)) / F.size(lines), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(line_chars > 0, F.round(dup_chars / line_chars, 4))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+
 #: Redaction patterns: a shared-regex-dialect subset (no lookaround, no \b
 #: differences) so the same pattern strings run in Spark (Java regex) and
 #: DuckDB (RE2) — tested equal. Order matters: emails before phones so the

@@ -219,3 +219,68 @@ def test_pack_sequences_invariants(spark):
         g = g.sort_values("seq_offset")
         assert g["seq_offset"].iloc[0] == 0
         assert (g["seq_offset"] + g["len"]).iloc[:-1].tolist() == g["seq_offset"].iloc[1:].tolist()
+
+
+def test_repetition_profile_known_values(spark):
+    from data_pipeline_spark.operators.corpus import repetition_profile
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                # 6 tokens -> 5 bigrams: "a b","b a","a b","b c","c d";
+                # top bigram "a b" x2 -> 2/5; dup 2 -> 2/5; max run 1
+                "a b a b c d",
+                # degenerate loop: 5 identical tokens -> 4 identical bigrams
+                "x x x x x",
+                # single token: no bigrams
+                "hello",
+                # repeated lines: 4 lines, "nav bar" repeats 3x (2 excess)
+                "nav bar\ncontent here now\nnav bar\nnav bar",
+                # all distinct
+                "the quick brown fox",
+            ],
+        }
+    )
+    got = (
+        repetition_profile(spark.createDataFrame(pdf), n=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "n_ngrams"] == 5
+    assert got.loc[1, "top_ngram_frac"] == 0.4
+    assert got.loc[1, "dup_ngram_frac"] == 0.4
+    assert got.loc[1, "max_token_run"] == 1
+    assert got.loc[2, "n_ngrams"] == 4
+    assert got.loc[2, "top_ngram_frac"] == 1.0
+    assert got.loc[2, "dup_ngram_frac"] == 1.0
+    assert got.loc[2, "max_token_run"] == 5
+    assert got.loc[3, "n_ngrams"] == 0
+    assert got.loc[3, "top_ngram_frac"] == 0.0
+    assert got.loc[3, "dup_ngram_frac"] == 0.0
+    assert got.loc[3, "max_token_run"] == 1
+    # doc 4: lines = [nav bar, content here now, nav bar, nav bar]
+    # distinct = 2 -> dup_line_frac = (4-2)/4 = 0.5
+    # line chars: 7+16+7+7 = 37; excess chars = 14 -> 14/37
+    assert got.loc[4, "dup_line_frac"] == 0.5
+    assert got.loc[4, "dup_line_char_frac"] == round(14 / 37, 4)
+    assert got.loc[5, "dup_ngram_frac"] == 0.0
+    assert got.loc[5, "dup_line_frac"] == 0.0
+    # original columns preserved
+    assert {"doc_id", "text"} <= set(got.reset_index().columns)
+
+
+def test_repetition_profile_zero_exchanges(spark, tmp_path):
+    """The 100-TB claim in the docstring: within-document statistics never
+    justify a shuffle. Over a parquet scan the whole profile must be a
+    single scan->project stage — no Exchange in the physical plan."""
+    from data_pipeline_spark.operators.corpus import repetition_profile
+
+    p = str(tmp_path / "docs.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").limit(100).write.parquet(p)
+    physical = (
+        repetition_profile(spark.read.parquet(p))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in physical
