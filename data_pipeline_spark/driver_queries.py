@@ -890,30 +890,15 @@ def decontaminate_docs(spark, sf_dir):
 _MINHASH_SEEDS = list(range(8))
 
 
-def _minhash_aggs():
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh{s}")
-        for s in _MINHASH_SEEDS
-    ]
+# Spark-side MinHash/banding delegates to the ONE shared implementation
+# (operators/corpus.minhash_signature / band_buckets — also under the
+# incremental dedup index); the DuckDB strings below are its SQL mirror.
+def _minhash_sig(sh):
+    return corpus_ops.minhash_signature(sh, key_col="doc_id", n_hashes=8)
 
 
 def _bands_exploded(sig):
-    """band rows via ONE explode over the signature — the signature
-    aggregation is computed once, not once per band branch (a 4-way union
-    of selects over `sig` re-runs the whole shingle+minhash pipeline per
-    branch)."""
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat(F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")).cast("binary")
-            ).alias("bucket"),
-        )
-        for b in range(4)
-    ])
-    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
-    )
+    return corpus_ops.band_buckets(sig, key_col="doc_id", n_bands=4)
 _MH_AGGS_DUCK = ",\n           ".join(
     f"min(md5('{s}:' || shingle)) AS mh{s}" for s in _MINHASH_SEEDS
 )
@@ -946,7 +931,7 @@ def lsh_band_buckets(spark, sf_dir):
     This is the 100 TB-scale near-dup path: cost is linear in corpus size
     (shingle explode + two aggs), no pairwise join until within-bucket."""
     sh = _doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    sig = _minhash_sig(sh)
     bands = _bands_exploded(sig)
     return (
         bands.groupBy("band_id", "bucket")
@@ -986,7 +971,7 @@ def minhash_dedup_pairs(spark, sf_dir):
     dedup shape; `ngram_jaccard_pairs` is the quadratic exact cross-check
     at test scale."""
     sh = _doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    sig = _minhash_sig(sh)
     bands = _bands_exploded(sig)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (

@@ -281,6 +281,57 @@ def doc_shingles(
     )
 
 
+def minhash_signature(
+    shingles: DataFrame,
+    key_col: str = "doc_id",
+    n_hashes: int = 8,
+    with_count: bool = False,
+) -> DataFrame:
+    """MinHash signature per key over a (key, shingle) frame: one row per
+    key with columns mh0..mh{n_hashes-1} (each the MIN md5 of the seeded
+    shingle — the classic permutation-free MinHash family). ONE map-side-
+    combinable hash aggregate; linear in corpus size. Shared by the batch
+    LSH pipeline (driver_queries.minhash_dedup_pairs) and the incremental
+    dedup index (streaming/dedup_index.py) so the two can never drift.
+
+    with_count: also emit n_shingles (shingles are already distinct per key
+    from doc_shingles, so this is the distinct-shingle count for free)."""
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    if with_count:
+        aggs.append(F.count("*").cast("int").alias("n_shingles"))
+    return shingles.groupBy(key_col).agg(*aggs)
+
+
+def band_buckets(
+    sig: DataFrame, key_col: str = "doc_id", n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding over a signature frame: (key, band_id, bucket) rows,
+    bucket = md5 of the band's concatenated minhashes. ONE explode over the
+    signature — never a union of per-band selects, which would re-run the
+    whole shingle+minhash pipeline per band."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{rows_per_band * b + r}") for r in range(rows_per_band)]
+                ).cast("binary")
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    return sig.select(F.col(key_col), F.explode(band_structs).alias("bb")).select(
+        F.col(key_col),
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

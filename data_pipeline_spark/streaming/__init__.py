@@ -13,6 +13,7 @@ from data_pipeline_spark.streaming.corpus_view import (  # noqa: F401
     read_corpus_deltas,
     touched_documents,
 )
+from data_pipeline_spark.streaming.dedup_index import DedupIndexJob  # noqa: F401
 from data_pipeline_spark.streaming.ingest import IngestJob  # noqa: F401
 from data_pipeline_spark.streaming.txn import TxnAligner, TxnCatalog  # noqa: F401
 from data_pipeline_spark.streaming.wap import (  # noqa: F401

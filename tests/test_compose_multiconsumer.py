@@ -72,6 +72,7 @@ def _crash_then_resume(poll):
     assert poll()["applied"] is False  # and the cursor is now committed
 
 
+@pytest.mark.slow
 def test_wap_cascade_and_corpus_view_compose_under_crashes(spark, tmp_path):
     a = str(tmp_path / "hub")
     LakehouseTable(a).create(TRANSCRIPT_SCHEMA, n_buckets=4, compact_every=10**9)
