@@ -62,11 +62,12 @@ def touched_documents(
     max_turns: int | None = None,
     high_churn_threshold: int = 100_000,
     snapshot_id: int | None = None,
-) -> tuple[DataFrame, str]:
+) -> tuple[DataFrame, str, list[str] | None]:
     """Current document images of the touched conversations — the shared
-    core of every incremental corpus consumer (view refresh, delta export).
+    core of every incremental corpus consumer (view refresh, delta export,
+    dedup index).
 
-    Two regimes, picked by ONE bounded count over the batch:
+    Two regimes, picked by ONE bounded probe-collect over the batch:
     - churn ≤ high_churn_threshold (the design point — daily churn ≪
       corpus): collect the id list and point-read it (bucket pruning +
       manifest key-range skipping → O(churn) files touched);
@@ -80,27 +81,35 @@ def touched_documents(
     committing — the exporter pins its cursor window's head; the view
     refresh pins the snapshot whose watermark LSN it stamps on the images.
 
-    Returns (documents DataFrame, mode) where mode ∈ {"point", "semi_join"}.
+    Returns (documents DataFrame, mode, ids) where mode ∈ {"point",
+    "semi_join"} and ids is the collected id list on the point path (None
+    on the high-churn path) — callers that need the ids anyway (the dedup
+    index point-reads its own tables by them) must not pay a second
+    collect job.
 
-    The regime is decided by one BOUNDED count (limit(threshold+1).count()
-    — early-exits the scan at the cap, ships only a number to the driver);
-    the point path then collects its ≤ threshold ids, and the high-churn
-    path never lands a single id on the driver."""
+    The regime is decided by one BOUNDED probe-collect
+    (limit(threshold+1).collect() — early-exits the scan at the cap and
+    doubles as the point path's id list, so the design-point refresh pays
+    ONE driver round-trip, never a count followed by a collect); the
+    high-churn path lands at most threshold+1 ids on the driver and
+    discards them."""
     # limit() takes a JVM int; a "never semi-join" threshold (maxsize) must
     # not overflow it — capping the probe at int32-max is semantically
     # identical (n can never exceed it AND the threshold)
     probe = min(high_churn_threshold + 1, 2**31 - 1)
-    n = changed_ids.limit(probe).count()
-    if n <= high_churn_threshold:
+    rows = changed_ids.limit(probe).collect()
+    if len(rows) <= high_churn_threshold:
         mode = "point"
-        ids = [r["conv_id"] for r in changed_ids.collect()]
+        # the probe didn't truncate (n <= threshold < probe), so the rows
+        # ARE the complete id list
+        ids = [r["conv_id"] for r in rows]
         turns = upstream.read(spark, snapshot_id=snapshot_id, conv_ids=ids)
     else:
-        mode = "semi_join"
+        mode, ids = "semi_join", None
         turns = upstream.read(spark, snapshot_id=snapshot_id).join(
             changed_ids, "conv_id", "semi"
         )
-    return assemble_conversations(turns, max_turns=max_turns), mode
+    return assemble_conversations(turns, max_turns=max_turns), mode, ids
 
 #: Schema of the documents view table. `turn_idx` is constant 0 — a
 #: document is one row per conversation, and pinning the second merge-key
@@ -182,7 +191,7 @@ class CorpusViewJob:
         changed_ids = changed.select("conv_id").distinct()
         snap = self.upstream.current_snapshot()
         lsn = snap.get("watermark_lsn") or 0
-        docs, self.last_refresh_mode = touched_documents(
+        docs, self.last_refresh_mode, _ = touched_documents(
             spark, self.upstream, changed_ids,
             max_turns=self.max_turns,
             high_churn_threshold=self.high_churn_threshold,
@@ -389,7 +398,7 @@ def export_corpus_delta(
             return {"exported": False, "cursor": cursor}
         to_id = cursor["snapshot_id"]
         changed_ids = chg.select("conv_id").distinct()
-        docs, mode = touched_documents(
+        docs, mode, _ = touched_documents(
             spark, upstream, changed_ids,
             max_turns=max_turns, high_churn_threshold=high_churn_threshold,
             snapshot_id=to_id,

@@ -247,7 +247,7 @@ class DedupIndexJob:
         frame; snap: the upstream snapshot the window ends at (images and
         stamped LSN are a pure function of it — see module docstring)."""
         lsn = snap.get("watermark_lsn") or 0
-        docs, mode = touched_documents(
+        docs, mode, ids = touched_documents(
             spark, self.upstream, changed_ids,
             max_turns=self.max_turns,
             high_churn_threshold=self.high_churn_threshold,
@@ -256,7 +256,7 @@ class DedupIndexJob:
         new_sig = self._sign(docs).persist()
         try:
             if mode == "point":
-                res = self._refresh_point(spark, batch_id, lsn, changed_ids, new_sig)
+                res = self._refresh_point(spark, batch_id, lsn, ids, new_sig)
             else:
                 res = self._refresh_rebuild(spark, batch_id, lsn, changed_ids, new_sig)
             # signatures apply LAST (see crash-safety note in the module
@@ -280,10 +280,14 @@ class DedupIndexJob:
         return res
 
     def _refresh_point(self, spark, batch_id: int, lsn: int,
-                       changed_ids: DataFrame, new_sig: DataFrame) -> dict:
-        """O(churn) path: rewrite only the touched docs' old ∪ new buckets."""
+                       ids: list[str], new_sig: DataFrame) -> dict:
+        """O(churn) path: rewrite only the touched docs' old ∪ new buckets.
+        ids: the changed id list, already collected by touched_documents'
+        bounded probe (no second driver round-trip)."""
         self.last_refresh_mode = "point"
-        ids = [r["conv_id"] for r in changed_ids.collect()]
+        changed_ids = spark.createDataFrame(
+            [(c,) for c in ids], "conv_id string"
+        )
         old_sig = self.sig.read(spark, conv_ids=ids)
         affected = (
             self._bands_of(old_sig).unionByName(self._bands_of(new_sig))
@@ -304,8 +308,12 @@ class DedupIndexJob:
             kept.unionByName(added)
             .groupBy("key")
             .agg(F.array_sort(F.collect_set("member")).alias("m"))
-        )
-        return self._apply_bands_point(spark, batch_id, lsn, affected, members)
+            .persist()  # consumed by the bucket-cap probe, the U feed and
+        )                # the D anti-join — one bands point-read, not three
+        try:
+            return self._apply_bands_point(spark, batch_id, lsn, affected, members)
+        finally:
+            members.unpersist()
 
     def _apply_bands_point(self, spark, batch_id: int, lsn: int,
                            affected: DataFrame, members: DataFrame) -> dict:
@@ -479,32 +487,69 @@ class DedupIndexJob:
         return self._est_pairs(cand, sig)
 
     def near_dups_for(self, spark: SparkSession, ids: list[str]) -> DataFrame:
-        """Near-dup pairs touching the given docs — point reads only:
-        their sig rows -> their bucket keys -> those buckets' members ->
-        candidate partners' sig rows. O(|ids| × bucket size); this is the
-        per-batch "what near-dups did this churn introduce?" query."""
+        """Near-dup pairs touching the given docs — the per-batch "what
+        near-dups did this churn introduce?" query. Two regimes, same split
+        as the refresh:
+
+        - |ids| ≤ high_churn_threshold (the design point): point reads only —
+          the docs' sig rows -> their bucket keys -> those buckets' member
+          rows. O(|ids| × bucket size), a handful of pruned file reads.
+        - above it: ONE distributed pass over the bands table — bucket rows
+          containing any given id are kept by an exploded broadcast semi-
+          join, candidates pair within those rows only. Linear in the bands
+          table, never all-pairs, nothing collected on the driver."""
         if not ids:
             return self._est_pairs(
                 spark.createDataFrame([], "d1 string, d2 string"),
                 self.signatures(spark),
             )
-        my_sig = self.sig.read(
-            spark, snapshot_id=self._pinned("signatures"), conv_ids=ids
-        )
-        keys = [r["key"] for r in self._bands_of(my_sig).select("key").distinct().collect()]
-        members = self._read_keys(spark, self.bands, keys).select(
-            F.explode(F.from_json("members", _MEMBERS_T)).alias("m")
-        )
-        partners = [r["m"] for r in members.distinct().collect()]
-        part_sig = self._read_keys(spark, self.sig, sorted(set(partners) | set(ids)))
-        bands_all = self._bands_of(part_sig)
-        a, b = bands_all.alias("a"), bands_all.alias("b")
+        if len(ids) <= self.high_churn_threshold:
+            my_sig = self.sig.read(
+                spark, snapshot_id=self._pinned("signatures"), conv_ids=ids
+            )
+            keys = [
+                r["key"]
+                for r in self._bands_of(my_sig).select("key").distinct().collect()
+            ]
+            rows = self._read_keys(spark, self.bands, keys).select(
+                F.from_json("members", _MEMBERS_T).alias("ms")
+            )
+        else:
+            ids_df = F.broadcast(
+                spark.createDataFrame([(c,) for c in ids], "m string")
+            )
+            rows = (
+                self.bands.read(spark, snapshot_id=self._pinned("bands"))
+                .select(
+                    F.col("conv_id").alias("key"),
+                    F.from_json("members", _MEMBERS_T).alias("ms"),
+                )
+                .select("key", "ms", F.explode("ms").alias("m"))
+                .join(ids_df, "m", "semi")
+                .select("key", "ms").dropDuplicates(["key"])
+                .select("ms")
+            )
         cand = (
-            a.join(b, (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.conv_id") < F.col("b.conv_id")))
-            .select(F.col("a.conv_id").alias("d1"), F.col("b.conv_id").alias("d2"))
+            rows.select(F.explode("ms").alias("d1"), "ms")
+            .select("d1", F.explode("ms").alias("d2"))
+            .where(F.col("d1") < F.col("d2"))
             .distinct()
         )
-        idset = set(ids)
-        touched = F.col("d1").isin(*idset) | F.col("d2").isin(*idset)
-        return self._est_pairs(cand.where(touched), part_sig)
+        ids_d = spark.createDataFrame([(c,) for c in ids], "d string")
+        touched = cand.join(
+            F.broadcast(ids_d),
+            (F.col("d1") == F.col("d")) | (F.col("d2") == F.col("d")),
+            "semi",
+        )
+        # partner signatures: point-read when the candidate set is small
+        # enough to enumerate, else the full (pinned) signature read joins
+        # distributed — never a driver-side partner list on the big path
+        if len(ids) <= self.high_churn_threshold:
+            partners = [
+                r["m"]
+                for r in rows.select(F.explode("ms").alias("m")).distinct().collect()
+            ]
+            part_sig = self._read_keys(spark, self.sig, sorted(set(partners) | set(ids)))
+        else:
+            part_sig = self.sig.read(spark, snapshot_id=self._pinned("signatures"))
+        return self._est_pairs(touched, part_sig)
