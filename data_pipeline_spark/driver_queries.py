@@ -710,8 +710,10 @@ def near_dup_clusters(spark, sf_dir):
 
 
 def _near_dup_components(spark, sf_dir) -> DataFrame:
-    """(doc_id, cluster_id) for every document — the min-label-propagation
-    connected components described in `near_dup_clusters`."""
+    """(doc_id, cluster_id) for every document — delegates to the ONE
+    shared min-label propagation (operators/corpus.connected_components,
+    also under the dedup index's survivor selection); the node universe is
+    the whole corpus here because the oracle emits isolated docs too."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.substring("text", 1, 40).cast("binary")).alias("h")
     )
@@ -721,40 +723,10 @@ def _near_dup_components(spark, sf_dir) -> DataFrame:
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
-    labels = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).persist()
-    try:
-        while True:
-            nbr = (
-                edges.join(labels, edges["v"] == labels["node"])
-                .groupBy(edges["u"].alias("node"))
-                .agg(F.min("label").alias("nbr_min"))
-            )
-            new_labels = (
-                labels.join(nbr, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-    finally:
-        edges.unpersist()
+    comp = corpus_ops.connected_components(
+        pairs, nodes=_t(spark, sf_dir, "documents").select("doc_id")
+    )
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @query(

@@ -4,8 +4,11 @@ corpus-preparation layer (assembly / sampling / redaction / packing)."""
 from data_pipeline_spark.operators.corpus import (  # noqa: F401
     PII_PATTERNS,
     assemble_conversations,
+    band_buckets,
+    connected_components,
     decontaminate,
     doc_shingles,
+    minhash_signature,
     pack_sequences,
     redact_pii,
     repetition_profile,

@@ -332,6 +332,61 @@ def band_buckets(
     )
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """Distributed connected components by iterative min-label propagation:
+    label(u) ← min({label(u)} ∪ labels(N(u))) until fixpoint. Each round is
+    ONE join + ONE groupBy (map-side-combinable); the driver only checks the
+    changed-row COUNT for convergence. Rounds are bounded by the component
+    diameter — near-dup graphs are clique-ish, 2–3 rounds. At true web
+    scale swap the loop body for alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same per-round plan shape.
+
+    pairs: (u, v) undirected candidate edges (one direction suffices).
+    nodes: optional (node) universe; defaults to the nodes appearing in
+    pairs — for dedup survivor selection that is exactly right (isolated
+    docs are their own cluster and are never dropped, so they need no row).
+    Returns (node, cluster_id) with cluster_id = the component's min node."""
+    pairs = pairs.select(F.col(pairs.columns[0]).alias("u"),
+                         F.col(pairs.columns[1]).alias("v"))
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    if nodes is None:
+        nodes = edges.select(F.col("u").alias("node")).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    try:
+        while True:
+            nbr = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .groupBy(edges["u"].alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -386,6 +441,7 @@ def snapshot_corpus(
     benchmark: DataFrame | str | None = None,
     benchmark_text_col: str = "text",
     decontaminate_ngram: int = 3,
+    exclude_ids: DataFrame | None = None,
 ) -> dict:
     """Reproducible corpus export from a LIVE CDC table: pin a snapshot,
     assemble conversations, optionally redact PII, write one parquet corpus
@@ -419,6 +475,17 @@ def snapshot_corpus(
     )
     if min_turns > 1:
         docs = docs.where(F.col("n_turns") >= min_turns)
+    n_excluded = None
+    if exclude_ids is not None:
+        # dedup screen: a (conv_id) frame of documents to drop — typically
+        # DedupIndexJob.drop_set (near-dup clusters minus one survivor
+        # each). Applied BEFORE redaction for the same raw-vs-raw reason as
+        # decontaminate: the drop decisions were made on raw text. The drop
+        # set is cluster-sized (tiny vs corpus): persist it, count it for
+        # the manifest, and broadcast the anti-join.
+        exclude_ids = exclude_ids.select("conv_id").persist()
+        n_excluded = exclude_ids.count()
+        docs = docs.join(F.broadcast(exclude_ids), "conv_id", "left_anti")
     persisted = None
     if benchmark is not None:
         # train/eval contamination guard, applied BEFORE redaction: the
@@ -456,6 +523,8 @@ def snapshot_corpus(
     ).parquet(out_path)
     if persisted is not None:
         persisted.unpersist()
+    if exclude_ids is not None:
+        exclude_ids.unpersist()
     stats = obs.get
     manifest = {
         "source_table": os.path.abspath(table_path),
@@ -465,6 +534,11 @@ def snapshot_corpus(
         "n_turns": stats["t"],
         "settings": {"redact": redact, "min_turns": min_turns,
                      "max_turns": max_turns, "doc_filter": doc_filter,
+                     **(
+                         {"n_excluded_ids": n_excluded}
+                         if n_excluded is not None
+                         else {}
+                     ),
                      **(
                          {
                              "decontaminated_against": (

@@ -486,6 +486,23 @@ class DedupIndexJob:
         sig = self.signatures(spark)
         return self._est_pairs(cand, sig)
 
+    def drop_set(self, spark: SparkSession) -> DataFrame:
+        """The conv_ids a dedup pass would DROP: near-dup pairs from the
+        index → connected components (transitive chains A~B~C collapse to
+        one cluster) → everything except each cluster's min id. Feed this
+        to snapshot_corpus(exclude_ids=...) for a dedup-screened export.
+
+        Scale shape: components run only over the near-dup SUBGRAPH (docs
+        appearing in at least one pair) — a sliver of the corpus; isolated
+        docs never enter the loop."""
+        from data_pipeline_spark.operators.corpus import connected_components
+
+        pairs = self.pairs_from_index(spark).select("d1", "d2")
+        comp = connected_components(pairs)
+        return comp.where(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias("conv_id")
+        )
+
     def near_dups_for(self, spark: SparkSession, ids: list[str]) -> DataFrame:
         """Near-dup pairs touching the given docs — the per-batch "what
         near-dups did this churn introduce?" query. Two regimes, same split

@@ -332,3 +332,35 @@ def test_catalog_publishes_consistent_pair(spark, tmp_path):
     assert head["tables"]["bands"] == job.bands.current_snapshot()["snapshot_id"]
     # pinned readers see the published pair even if the tables move on
     _assert_index_equals_scratch(spark, job, up)
+
+
+def test_drop_set_and_dedup_screened_export(spark, tmp_path):
+    """Survivor selection + export composition: a transitive near-dup chain
+    A~B~C collapses to one cluster, drop_set names everything except the
+    min id, and snapshot_corpus(exclude_ids=drop_set) ships a corpus with
+    exactly one survivor per cluster (manifest records the drop count)."""
+    from data_pipeline_spark.operators.corpus import snapshot_corpus
+
+    up, ingest, job, cursor = _setup(spark, tmp_path)
+    _apply(spark, ingest, up, 0, _dup_feed([
+        (1, "I", "dup-a", 0, "alpha beta gamma delta epsilon zeta"),
+        (2, "I", "dup-b", 0, "alpha beta gamma delta epsilon zeta"),
+        (3, "I", "dup-c", 0, "alpha beta gamma delta epsilon zeta"),
+        (4, "I", "solo", 0, "completely unrelated text about other things"),
+        (5, "I", "pair-x", 0, "one two three four five six seven"),
+        (6, "I", "pair-y", 0, "one two three four five six seven"),
+    ]))
+    job.run_until_caught_up(spark, cursor)
+
+    drops = sorted(job.drop_set(spark).toPandas()["conv_id"])
+    assert drops == ["dup-b", "dup-c", "pair-y"]
+
+    out = str(tmp_path / "corpus")
+    manifest = snapshot_corpus(
+        spark, up, out, redact=False, exclude_ids=job.drop_set(spark)
+    )
+    assert manifest["settings"]["n_excluded_ids"] == 3
+    got = set(spark.read.parquet(out).toPandas()["conv_id"])
+    assert {"dup-a", "solo", "pair-x"} <= got
+    assert got.isdisjoint({"dup-b", "dup-c", "pair-y"})
+    assert manifest["n_docs"] == len(got)

@@ -6,14 +6,15 @@ a real deployment would —
   + auto compaction (compact_every=3) and auto manifest rewrite (every 4)
   + an online bucket-spec evolution with throttled migration behind ingest
   + snapshot expiry with orphan grace, twice, while consumers hold cursors
-  + a corpus view and a delta exporter consuming the published chain
-    concurrently through cursors
+  + a corpus view, a delta exporter and a MinHash-LSH dedup index
+    consuming the published chain concurrently through cursors
   + injected crashes: a WAP publish that dies after the staged merge, and
     a view refresh that dies after its merge but before its cursor commit.
 
 End state: hub == feed oracle over exactly the published batches (byte
 equality on text), view == assemble(hub), folded export chain == assembled
-corpus, and every maintenance kind landed at least once.
+corpus, dedup-index signatures == the from-scratch LSH pipeline, and every
+maintenance kind landed at least once.
 """
 
 from __future__ import annotations
@@ -23,7 +24,12 @@ import os
 import pandas as pd
 import pytest
 
-from data_pipeline_spark.operators.corpus import assemble_conversations
+from data_pipeline_spark.operators.corpus import (
+    assemble_conversations,
+    doc_shingles,
+    minhash_signature,
+)
+from data_pipeline_spark.streaming.dedup_index import DedupIndexJob
 from data_pipeline_spark.oracle import reduce_feed
 from data_pipeline_spark.plans.table_format import LakehouseTable
 from data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TXN_EVENT_SCHEMA
@@ -101,6 +107,11 @@ def test_production_day_everything_at_once(spark, tmp_path):
     export_dir = str(tmp_path / "deltas")
     cur_export = str(tmp_path / "cursor-export.json")
 
+    idx = str(tmp_path / "idx")
+    DedupIndexJob.create_index_tables(idx, n_buckets=4)
+    dix = DedupIndexJob(hub, idx)
+    cur_dedup = str(tmp_path / "cursor-dedup.json")
+
     chunks = _chunks()
     kinds_seen: set[str] = set()
     gc_runs = []
@@ -171,6 +182,8 @@ def test_production_day_everything_at_once(spark, tmp_path):
             vj.poll_once(spark, cur_view)
         if bid % 2 == 1:
             export_corpus_delta(spark, hub, export_dir, cur_export, redact=False)
+        if bid % 3 == 2:
+            dix.poll_once(spark, cur_dedup)
 
         # snapshot expiry with orphan grace rolls through mid-day while
         # both consumers hold live cursors
@@ -183,6 +196,7 @@ def test_production_day_everything_at_once(spark, tmp_path):
     wap.try_publish(spark)
     assert vj.run_until_caught_up(spark, cur_view) >= 0
     export_corpus_delta(spark, hub, export_dir, cur_export, redact=False)
+    dix.run_until_caught_up(spark, cur_dedup)
     kinds_seen |= {s["kind"] for s in t.history()}
 
     # --- every maintenance op landed at least once
@@ -218,4 +232,18 @@ def test_production_day_everything_at_once(spark, tmp_path):
     folded = _fold_chain(export_dir)[["conv_id", "doc_text", "n_turns", "n_chars"]]
     pd.testing.assert_frame_equal(
         folded.reset_index(drop=True), oracle_docs, check_dtype=False
+    )
+
+    # --- the dedup index equals the from-scratch LSH pipeline over the hub
+    sig_cols = ["conv_id"] + [f"mh{s}" for s in range(8)] + ["n_shingles"]
+    scratch_sig = minhash_signature(
+        doc_shingles(assemble_conversations(t.read(spark)),
+                     text_col="doc_text", key_col="conv_id", n=3),
+        key_col="conv_id", n_hashes=8, with_count=True,
+    )
+    pd.testing.assert_frame_equal(
+        dix.signatures(spark).select(sig_cols).toPandas()
+        .sort_values("conv_id").reset_index(drop=True),
+        scratch_sig.select(sig_cols).toPandas()
+        .sort_values("conv_id").reset_index(drop=True),
     )
