@@ -61,6 +61,11 @@ _EXCLUDE = {
     # quality family's in-window row stays doc_quality_scores; this one is
     # oracle-checked off-window (tests/test_offwindow_queries.py):
     "doc_repetition_scores",
+    # round-5 addition past the 50-cap: cross-document boilerplate-line
+    # dedup (RefinedWeb exact-line screen) — the dedup family's in-window
+    # rows stay (dedup_exact_docs, minhash_dedup_pairs, decontaminate_docs);
+    # oracle-checked off-window like the rest:
+    "dedup_turn_boilerplate",
 }
 _FIRST = [
     "lww_latest_by_user",            # T5 LWW dedup (flagship)

@@ -1967,6 +1967,54 @@ def assemble_redact_transcripts(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_turn_boilerplate",
+    """
+    WITH turns AS (
+      SELECT user_id, event_id,
+             concat_ws(': ', event_type,
+                       CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) AS line
+      FROM events
+    ), freq AS (
+      SELECT line FROM turns GROUP BY line
+      HAVING COUNT(DISTINCT user_id) >= 20
+    ), marked AS (
+      SELECT t.user_id, t.event_id, t.line, f.line IS NOT NULL AS dup
+      FROM turns t LEFT JOIN freq f USING (line)
+    )
+    SELECT user_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY event_id)
+                      FILTER (WHERE NOT dup), '') AS text_dedup,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(COALESCE(count(*) FILTER (WHERE NOT dup), 0) AS INT)
+             AS n_lines_kept
+    FROM marked GROUP BY user_id
+    """,
+)
+def dedup_turn_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate removal (operators/corpus.dedup_lines —
+    the RefinedWeb exact-line screen) over the engine's own assembled
+    transcripts: turns render as "event_type: floor(value)" lines (floor,
+    not cast — Spark truncates double→int, DuckDB rounds), assembly joins
+    them per user, and any line appearing in ≥ 20 distinct conversations is
+    boilerplate and is stripped from every document. Unlike the within-doc
+    repetition_profile this is a GLOBAL frequency decision; the oracle
+    rebuilds it from the raw turns (same lines assembly produced, so the
+    split→screen→reassemble round-trip is what's actually checked)."""
+    turns = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.floor("value").cast("long").cast("string").alias("val_s"),
+    )
+    docs = corpus_ops.assemble_conversations(
+        turns, conv_col="user_id", idx_col="event_id",
+        role_col="event_type", text_col="val_s",
+    )
+    out = corpus_ops.dedup_lines(
+        docs, id_col="user_id", text_col="doc_text", min_df=20
+    )
+    return out.select("user_id", "text_dedup", "n_lines", "n_lines_kept")
+
+
 _PACK_BUDGET = 512
 
 

@@ -180,6 +180,87 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document exact line deduplication (the RefinedWeb / CCNet
+    boilerplate filter, public papers): a line that appears verbatim in
+    ≥ `min_df` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, canned greetings) and is removed from EVERY document; each
+    line's document frequency is global, so — unlike `repetition_profile`,
+    which is within-document and shuffle-free — this operator genuinely
+    needs a corpus-wide aggregation.
+
+    Appends to each input row:
+      text_dedup    — the document with boilerplate lines removed, original
+                      line order preserved ('' if every line was removed;
+                      the row itself is never dropped — survivorship is the
+                      caller's policy, same contract as decontaminate)
+      n_lines       — non-empty lines before the screen
+      n_lines_kept  — lines surviving it
+
+    100-TB shape (three stages, each the minimal one):
+      1. frequency: posexplode(split) → groupBy(md5(line)) countDistinct(id)
+         — ONE shuffle moving (16-byte hash, id) pairs, partial-aggregated
+         map-side; the full line text never shuffles.
+      2. screen: the frequent set (≤ total_lines / min_df rows of ONE hash
+         column — heavy-hitter-bounded) joins back onto the exploded lines.
+         Left to AQE: broadcast when it fits (the common case — RefinedWeb
+         reports a tiny boilerplate set vs corpus), shuffle-hash when a
+         pathological corpus makes it huge. Same deliberate non-forcing as
+         decontaminate's anti-join.
+      3. reassembly: groupBy(id) re-concatenates surviving lines in posexplode
+         order — map-side-combinable ObjectHashAggregate, reduce memory
+         bounded by the longest single document. The final join back to the
+         input rides the same id hash partitioning Spark just produced.
+    countDistinct(id) within stage 1 is per-line-hash, so Spark plans it as
+    two cascaded partial aggregates — no expansion join, no distinct-explode.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).where(F.col("_line") != "")
+    lines = lines.withColumn("_lh", F.md5(F.col("_line").cast("binary")))
+    frequent = (
+        lines.groupBy("_lh")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_lh", F.lit(True).alias("_dup"))
+    )
+    marked = lines.join(frequent, "_lh", "left")
+    kept_text = F.concat_ws(
+        line_sep,
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_dup").isNull(),
+                        F.struct(F.col("_pos"), F.col("_line")),
+                    )
+                )
+            ),
+            lambda t: t["_line"],
+        ),
+    )
+    agg = marked.groupBy(id_col).agg(
+        kept_text.alias("text_dedup"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_lines_kept"),
+    )
+    return df.join(agg, id_col, "left").select(
+        *df.columns,
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text", counts: bool = False) -> DataFrame:
     """Scrub emails / phone-ish numbers / IPv4s from a text column
     (chained regexp_replace — whole-stage codegen, row-local, no shuffle).

@@ -284,3 +284,122 @@ def test_repetition_profile_zero_exchanges(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in physical
+
+
+def test_dedup_lines_known_values(spark):
+    from data_pipeline_spark.operators.corpus import dedup_lines
+
+    # "cookie banner" appears in docs 1,2,3 (df=3); "nav" in 1,2 (df=2);
+    # every other line is unique. min_df=3 -> only the banner is boilerplate.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "cookie banner\nreal content one\nnav",
+                "nav\ncookie banner\nreal content two",
+                "cookie banner\ncookie banner",  # within-doc repeat: df counts docs, not occurrences
+                "standalone doc",
+            ],
+            "lang": ["en", "en", "de", "en"],
+        }
+    )
+    got = (
+        dedup_lines(spark.createDataFrame(pdf), min_df=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "text_dedup"] == "real content one\nnav"
+    assert got.loc[2, "text_dedup"] == "nav\nreal content two"
+    # doc 3 loses every line but the ROW survives with empty text
+    assert got.loc[3, "text_dedup"] == ""
+    assert got.loc[3, "n_lines"] == 2 and got.loc[3, "n_lines_kept"] == 0
+    assert got.loc[4, "text_dedup"] == "standalone doc"
+    assert (got["n_lines"] == [3, 3, 2, 1]).all()
+    assert (got["n_lines_kept"] == [2, 2, 0, 1]).all()
+    # original columns preserved
+    assert got.loc[3, "lang"] == "de"
+
+    # min_df=2: nav goes too; doc 3's two occurrences alone do NOT make a
+    # df of 2 (one distinct doc)
+    pdf2 = pd.DataFrame({"doc_id": [1, 2], "text": ["only here\nonly here", "other"]})
+    got2 = (
+        dedup_lines(spark.createDataFrame(pdf2), min_df=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got2.loc[1, "text_dedup"] == "only here\nonly here"
+    assert got2.loc[1, "n_lines_kept"] == 2
+
+
+def test_dedup_lines_order_and_empty_lines(spark):
+    from data_pipeline_spark.operators.corpus import dedup_lines
+
+    # empty lines (consecutive separators) are dropped from the counts AND
+    # the reassembly; surviving-line order is the original document order
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["z last\n\ncommon\na first", "common\nmiddle\ncommon"],
+        }
+    )
+    got = (
+        dedup_lines(spark.createDataFrame(pdf), min_df=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "text_dedup"] == "z last\na first"
+    assert got.loc[1, "n_lines"] == 3  # the empty line never counted
+    assert got.loc[2, "text_dedup"] == "middle"
+    # completely empty text: zero lines, row survives
+    pdf3 = pd.DataFrame({"doc_id": [9], "text": [""]})
+    got3 = dedup_lines(spark.createDataFrame(pdf3), min_df=2).toPandas()
+    assert got3.loc[0, "n_lines"] == 0 and got3.loc[0, "text_dedup"] == ""
+
+
+def test_dedup_lines_matches_duckdb(spark, duck):
+    """The driver-style oracle at operator level: screen the documents table
+    split on ' ' (the synthetic corpus is single-line, so token = 'line'
+    here — the semantics under test are the global-df screen + ordered
+    reassembly, which don't care what the separator is)."""
+    from data_pipeline_spark.operators.corpus import dedup_lines
+
+    got = (
+        dedup_lines(_docs(spark), text_col="text", line_sep=" ", min_df=400)
+        .select("doc_id", "text_dedup", "n_lines", "n_lines_kept")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duck.execute(
+        """
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM documents
+        ), nz AS (SELECT * FROM lines WHERE line <> ''),
+        freq AS (
+          SELECT line FROM nz GROUP BY line
+          HAVING COUNT(DISTINCT doc_id) >= 400
+        ), marked AS (
+          SELECT nz.doc_id, nz.pos, nz.line, f.line IS NOT NULL AS dup
+          FROM nz LEFT JOIN freq f USING (line)
+        )
+        SELECT d.doc_id,
+               COALESCE(m.t, '') AS text_dedup,
+               CAST(COALESCE(m.n, 0) AS INT) AS n_lines,
+               CAST(COALESCE(m.k, 0) AS INT) AS n_lines_kept
+        FROM documents d LEFT JOIN (
+          SELECT doc_id,
+                 string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT dup) AS t,
+                 count(*) AS n,
+                 COALESCE(count(*) FILTER (WHERE NOT dup), 0) AS k
+          FROM marked GROUP BY doc_id
+        ) m USING (doc_id)
+        ORDER BY doc_id
+        """
+    ).df()
+    # the screen must actually fire at this threshold or the test is vacuous
+    assert (want["n_lines_kept"] < want["n_lines"]).any()
+    assert (want["n_lines_kept"] > 0).any()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
