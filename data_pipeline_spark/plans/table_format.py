@@ -169,6 +169,59 @@ class CommitConflictError(RuntimeError):
     operation against the new current snapshot."""
 
 
+#: column types a z-order key can normalize through manifest bounds:
+#: integrals cast exactly; timestamp via exact integer epoch micros — the
+#: SAME encoding _stat_codec records, which is what the normalization reads.
+#: Strings are OUT (no fixed-width order-preserving encoding without a rank
+#: pass, which a task-local sort can't afford); float/double are OUT (NaN
+#: ordering, same story as stats). Validation happens at create().
+_ZORDER_TYPES = ("int", "long", "bigint", "timestamp")
+
+_Z_BITS = 16  # cells per dimension = 2^16 — plenty for FILE-level locality
+
+
+def _zorder_expr(cols: list[tuple[str, str, int, int]]) -> F.Column:
+    """Morton (z-order) sort key over 2+ numeric/temporal columns as a pure
+    Catalyst expression. cols = (name, type, lo, hi) with lo/hi in the
+    column's _stat_codec units (ints; epoch micros for timestamps).
+
+    Raw byte-interleave of unnormalized values degenerates whenever ranges
+    differ (the classic Morton pitfall): epoch-micros timestamps vary in
+    their middle bytes while a small int varies only in its last, so the
+    wide column monopolizes every significant interleave position and the
+    "z-order" collapses to a plain sort on it. So each column is first
+    RANGE-NORMALIZED to 16 bits against the table's recorded bounds —
+    scaled = clamp((v - lo) / ceil(span / 2^16), 0..65535) — the same idea
+    as Delta's ZORDER range-partition ids, but driven by manifest stats the
+    engine already maintains instead of an extra analysis pass. Values
+    outside [lo, hi] (data newer than the bounds) clamp to the edge cells;
+    null → cell 0 (nulls cluster in the lowest files).
+
+    The interleave emits hex byte pairs alternating column-major-by-byte:
+    col0[hi] col1[hi] col0[lo] col1[lo] — lexicographic order of the lpad-2
+    uppercase-hex string equals numeric byte order ('0'<'9'<'A'<'F' in
+    ASCII). The whole key is one WholeStageCodegen projection; the sort
+    stays task-local (sortWithinPartitions), exactly like the linear
+    cluster_by path."""
+    scaled = []
+    for name, typ, lo, hi in cols:
+        c = F.col(name)
+        u = F.unix_micros(c) if typ == "timestamp" else c.cast("long")
+        bw = max((int(hi) - int(lo)) // (1 << _Z_BITS), 0) + 1
+        s = (F.coalesce(u, F.lit(int(lo))) - F.lit(int(lo))) / F.lit(bw)
+        s = F.floor(s).cast("long")
+        scaled.append(
+            F.greatest(F.lit(0), F.least(F.lit((1 << _Z_BITS) - 1), s))
+        )
+    parts = []
+    for k in range(_Z_BITS // 8):
+        shift = _Z_BITS - 8 * (k + 1)
+        for s in scaled:
+            byte = F.shiftrightunsigned(s, shift).bitwiseAND(F.lit(255))
+            parts.append(F.lpad(F.hex(byte), 2, "0"))
+    return F.concat(*parts)
+
+
 def with_commit_retry(fn, max_retries: int = 5, base_backoff: float = 0.05):
     """Iceberg-style optimistic-commit retry for multi-writer callers.
 
@@ -919,6 +972,7 @@ class LakehouseTable:
         update_mode: str = "full",
         rewrite_manifests_every: int | None = None,
         cluster_by: list[str] | None = None,
+        cluster_order: str = "linear",
         target_file_rows: int | None = None,
         stats_columns: list[str] | None = None,
     ) -> None:
@@ -946,6 +1000,27 @@ class LakehouseTable:
         bucket always spans the full range). Delta files stay unsorted
         (they're small and short-lived; compaction folds them).
 
+        cluster_order: 'linear' (lexicographic by cluster_by — tight
+        bounds on the LEADING column, later columns only tie-break) or
+        'zorder' (Delta OPTIMIZE ZORDER BY / Iceberg z-sort-order analog:
+        one Morton key interleaving the cluster_by columns byte-wise, each
+        RANGE-NORMALIZED to 16 bits against the manifests' recorded
+        bounds, so every file covers a compact hyper-rectangle and
+        `read(where=)` skipping gets comparably tight bounds on EVERY z
+        column — the layout for tables queried by more than one
+        dimension). Requires ≥ 2 cluster_by columns of integral/timestamp
+        type (strings have no fixed-width order-preserving encoding;
+        float NaN ordering is unsound for skipping, same rule as
+        stats_columns); the z columns are auto-added to stats_columns —
+        the normalization reads those bounds, and the table's FIRST base
+        write (no bounds yet) sorts linear to record them. Sorting is
+        still task-local per bucket; stats recording and pruning are
+        IDENTICAL either way — bounds come from written parquet footers,
+        so the order changes bound tightness, never soundness. Note
+        key_min/key_max point-read pruning on cluster_by[0] keeps working
+        but its bounds get wider under zorder (no column is fully sorted);
+        use zorder when where-predicates dominate point reads.
+
         stats_columns: record per-file min/max for these payload columns
         in the manifest (Iceberg's per-column `lower_bounds`/`upper_bounds`)
         whenever BASE files are written — the stats behind
@@ -961,6 +1036,22 @@ class LakehouseTable:
         keyed by field id so it survives renames)."""
         assert merge_mode in ("mor", "cow")
         assert update_mode in ("full", "partial")
+        if cluster_order not in ("linear", "zorder"):
+            raise ValueError(f"cluster_order must be linear|zorder, got {cluster_order!r}")
+        if cluster_order == "zorder":
+            if not cluster_by or len(cluster_by) < 2:
+                raise ValueError("cluster_order='zorder' needs >= 2 cluster_by columns "
+                                 "(a single-column z-order IS the linear sort)")
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            bad = [c for c in cluster_by if types.get(c) not in _ZORDER_TYPES]
+            if bad:
+                raise ValueError(
+                    f"zorder columns must be integral/timestamp, got "
+                    f"{ {c: types.get(c) for c in bad} } — strings have no "
+                    f"fixed-width order-preserving encoding and float NaN "
+                    f"ordering is unsound for file skipping")
+            # the z normalization reads these columns' manifest bounds
+            stats_columns = sorted(set(stats_columns or []) | set(cluster_by))
         if self.ref is not None:
             raise ValueError("create the main table first, then create_branch "
                              "— a branch cannot exist without a main head")
@@ -991,6 +1082,7 @@ class LakehouseTable:
                 "compact_every": compact_every,
                 "rewrite_manifests_every": rewrite_manifests_every,
                 "cluster_by": cluster_by,
+                "cluster_order": cluster_order,
                 "target_file_rows": target_file_rows,
                 "stats_columns": stats_columns,
                 "delta_commits": 0,
@@ -1453,6 +1545,54 @@ class LakehouseTable:
                 out[f["name"]] = f
         return out
 
+    def _sort_cols(self, snap: dict) -> list | None:
+        """The task-local sort for base-file writes: the cluster_by columns
+        (linear, Iceberg sort-order style) or ONE computed Morton key over
+        them (cluster_order='zorder'). Stats recording and pruning are
+        untouched either way — bounds always come from the written files'
+        parquet footers, so a sort order can only change how TIGHT the
+        bounds are, never whether pruning is sound.
+
+        The z key needs per-column range bounds to normalize against
+        (see _zorder_expr); they come from the snapshot's existing manifest
+        col_stats — zero extra I/O, no analysis pass. A table's FIRST base
+        write (no recorded bounds yet) therefore sorts linear and records
+        stats; every later compaction z-orders against them. Bounds lag the
+        newest data by one write; out-of-range values clamp to edge cells,
+        and the bounds catch up at the next write. Falls back to linear —
+        a layout choice, never a failure — when a DDL dropped/retyped z
+        columns below the supported shape."""
+        cluster_by = snap.get("cluster_by")
+        if not cluster_by:
+            return None
+        if snap.get("cluster_order") != "zorder" or len(cluster_by) < 2:
+            return cluster_by
+        fields = {
+            f["name"]: f for f in self._load_schema(snap["schema_id"])["fields"]
+        }
+        if not all(
+            c in fields and fields[c]["type"] in _ZORDER_TYPES for c in cluster_by
+        ):
+            return cluster_by
+        bounds: dict[str, tuple[int, int]] = {}
+        for e in self._files(snap):
+            for c in cluster_by:
+                mm = (e.get("col_stats") or {}).get(str(fields[c]["id"]))
+                if mm is None:
+                    continue
+                cur = bounds.get(c)
+                bounds[c] = (
+                    mm[0] if cur is None else min(cur[0], mm[0]),
+                    mm[1] if cur is None else max(cur[1], mm[1]),
+                )
+        if not all(c in bounds for c in cluster_by):
+            return cluster_by
+        return [
+            _zorder_expr(
+                [(c, fields[c]["type"], *bounds[c]) for c in cluster_by]
+            )
+        ]
+
     def _record_stats(self, entries: list[dict], snap: dict) -> list[dict]:
         """Per-file column bounds from parquet FOOTERS (one threaded
         zero-data-I/O sweep, same pattern as file_stats): `key_min`/
@@ -1667,10 +1807,9 @@ class LakehouseTable:
             df = df.withColumn(LSN_COL, F.lit(0).cast("long"))
         data = df.withColumn("_bucket", self.bucket_expr(snap["n_buckets"]))
         new_id = self._next_id(snap)
-        cluster_by = snap.get("cluster_by")
         entries = self._write_data(
             data, new_id, snap["schema_id"], snap["n_buckets"], "base",
-            sort_cols=cluster_by,
+            sort_cols=self._sort_cols(snap),
             max_records_per_file=snap.get("target_file_rows"),
             spec_id=self.spec_id(snap),
         )
@@ -1933,10 +2072,9 @@ class LakehouseTable:
             live = merge_changeset(existing, chg, data_cols)
         live = live.withColumnRenamed("lsn", LSN_COL)
         new_id = self._next_id(snap)
-        cluster_by = snap.get("cluster_by")
         new_entries = self._write_data(
             live, new_id, snap["schema_id"], snap["n_buckets"], "base",
-            sort_cols=cluster_by,
+            sort_cols=self._sort_cols(snap),
             max_records_per_file=snap.get("target_file_rows"),
             spec_id=self.spec_id(snap),
         )
@@ -2008,7 +2146,6 @@ class LakehouseTable:
             return self._squash(spark, snap, sel)
         rec = self._reconciled(spark, snap, buckets=sel)
         new_id = self._next_id(snap)
-        cluster_by = snap.get("cluster_by")
         entries: list[dict] = []
         if rec is not None:
             base = rec.select(
@@ -2018,7 +2155,7 @@ class LakehouseTable:
             )
             entries = self._write_data(
                 base, new_id, snap["schema_id"], snap["n_buckets"], "base",
-                sort_cols=cluster_by,
+                sort_cols=self._sort_cols(snap),
                 max_records_per_file=snap.get("target_file_rows"),
                 spec_id=self.spec_id(snap),
             )
@@ -2205,7 +2342,7 @@ class LakehouseTable:
         rec = self._reconciled(spark, snap)
         new_id = self._next_id(snap)
         new_spec = self.spec_id(snap) + 1
-        cluster_by = snap.get("cluster_by")
+
         entries: list[dict] = []
         if rec is not None:
             base = rec.select(
@@ -2215,7 +2352,7 @@ class LakehouseTable:
             )
             entries = self._write_data(
                 base, new_id, snap["schema_id"], new_n_buckets, "base",
-                sort_cols=cluster_by,
+                sort_cols=self._sort_cols(snap),
                 max_records_per_file=snap.get("target_file_rows"),
                 spec_id=new_spec,
             )
@@ -2415,7 +2552,7 @@ class LakehouseTable:
         chosen_base = [e for e in chosen if e.get("layer", "base") == "base"]
         chosen_delta = [e for e in chosen if e.get("layer") == "delta"]
         data_cols = [f["name"] for f in self._load_schema(snap["schema_id"])["fields"]]
-        cluster_by = snap.get("cluster_by")
+
         # Pure re-layout of BOTH layers, no fold: base rows move with their
         # LSN; delta rows move with lsn+op(+mask) and stay in the delta
         # layer, so read-time LWW resolves versions exactly as before and a
@@ -2435,7 +2572,7 @@ class LakehouseTable:
             )
             base_entries = self._write_data(
                 moved, base_id, snap["schema_id"], snap["n_buckets"], "base",
-                sort_cols=cluster_by,
+                sort_cols=self._sort_cols(snap),
                 max_records_per_file=snap.get("target_file_rows"),
                 spec_id=cur_spec,
             )

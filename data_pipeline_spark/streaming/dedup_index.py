@@ -130,6 +130,7 @@ class DedupIndexJob:
         rows_per_band: int = 2,
         min_matches: int | None = None,
         high_churn_threshold: int = 100_000,
+        lookup_point_threshold: int = 2_000,
         catalog_path: str | None = None,
         max_bucket_members: int | None = None,
         max_turns: int | None = None,
@@ -149,6 +150,7 @@ class DedupIndexJob:
         self.rows_per_band = rows_per_band
         self.min_matches = (n_hashes + 1) // 2 if min_matches is None else min_matches
         self.high_churn_threshold = high_churn_threshold
+        self.lookup_point_threshold = lookup_point_threshold
         self.max_bucket_members = max_bucket_members
         self.max_turns = max_turns
         self.on_alert = on_alert
@@ -505,12 +507,22 @@ class DedupIndexJob:
 
     def near_dups_for(self, spark: SparkSession, ids: list[str]) -> DataFrame:
         """Near-dup pairs touching the given docs — the per-batch "what
-        near-dups did this churn introduce?" query. Two regimes, same split
-        as the refresh:
+        near-dups did this churn introduce?" query. Two regimes, split on
+        `lookup_point_threshold` — deliberately NOT the refresh's
+        high_churn_threshold, because the cost structures differ: the
+        refresh's point path reads O(churn) pruned files once, while the
+        lookup's point path COLLECTS the docs' bucket keys (|ids| × n_bands
+        of them) to the driver and point-reads them, then collects the
+        partner set too — it beats the distributed pass only while that key
+        set stays small relative to one bands-table scan (measured crossover
+        in the low thousands of ids at sandbox scale,
+        scripts/bench_dedup_index.py; the crossover RISES with corpus size —
+        the scan side grows, the point side doesn't):
 
-        - |ids| ≤ high_churn_threshold (the design point): point reads only —
-          the docs' sig rows -> their bucket keys -> those buckets' member
-          rows. O(|ids| × bucket size), a handful of pruned file reads.
+        - |ids| ≤ lookup_point_threshold (the design point): point reads
+          only — the docs' sig rows -> their bucket keys -> those buckets'
+          member rows. O(|ids| × bucket size), a handful of pruned file
+          reads.
         - above it: ONE distributed pass over the bands table — bucket rows
           containing any given id are kept by an exploded broadcast semi-
           join, candidates pair within those rows only. Linear in the bands
@@ -520,7 +532,7 @@ class DedupIndexJob:
                 spark.createDataFrame([], "d1 string, d2 string"),
                 self.signatures(spark),
             )
-        if len(ids) <= self.high_churn_threshold:
+        if len(ids) <= self.lookup_point_threshold:
             my_sig = self.sig.read(
                 spark, snapshot_id=self._pinned("signatures"), conv_ids=ids
             )
@@ -561,7 +573,7 @@ class DedupIndexJob:
         # partner signatures: point-read when the candidate set is small
         # enough to enumerate, else the full (pinned) signature read joins
         # distributed — never a driver-side partner list on the big path
-        if len(ids) <= self.high_churn_threshold:
+        if len(ids) <= self.lookup_point_threshold:
             partners = [
                 r["m"]
                 for r in rows.select(F.explode("ms").alias("m")).distinct().collect()

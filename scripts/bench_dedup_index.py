@@ -142,14 +142,25 @@ def bench_one(spark, root: str, events: int, convs: int, buckets: int,
         refresh_s = time.time() - s
         assert res["applied"] is True and dix.last_refresh_mode == "point"
 
-        lookup_s = timed(
+        # lookup in BOTH regimes on the same state: the point path collects
+        # |ids| x n_bands bucket keys driver-side, the distributed path is
+        # one bands-table scan — the crossover sets lookup_point_threshold
+        saved = dix.lookup_point_threshold
+        dix.lookup_point_threshold = len(churned) + 1
+        lookup_point_s = timed(
             lambda c=churned: dix.near_dups_for(spark, c).agg(F.count("*")).collect()
         )
+        dix.lookup_point_threshold = 0
+        lookup_dist_s = timed(
+            lambda c=churned: dix.near_dups_for(spark, c).agg(F.count("*")).collect()
+        )
+        dix.lookup_point_threshold = saved
         windows.append({
             "churned_docs": n_keys,
             "incremental_refresh_s": round(refresh_s, 3),
             "speedup_vs_full": round(full_s / refresh_s, 1),
-            "near_dup_lookup_s": round(lookup_s, 3),
+            "near_dup_lookup_point_s": round(lookup_point_s, 3),
+            "near_dup_lookup_dist_s": round(lookup_dist_s, 3),
         })
 
     shutil.rmtree(root, ignore_errors=True)

@@ -311,9 +311,9 @@ def test_near_dups_for_matches_restricted_pairs(spark, tmp_path):
     assert len(got) == 2  # (dup-a, dup-b) and (dup-b, dup-c)
     assert job.near_dups_for(spark, ["absent-conv"]).count() == 0
 
-    # the distributed regime (|ids| above the threshold) must return the
-    # same pairs via one linear pass over the bands table
-    job.high_churn_threshold = 0
+    # the distributed regime (|ids| above the lookup threshold) must return
+    # the same pairs via one linear pass over the bands table
+    job.lookup_point_threshold = 0
     got_dist = _pd(job.near_dups_for(spark, ["dup-b"]), ["d1", "d2", "est_jaccard"])
     pd.testing.assert_frame_equal(got_dist, want)
 
