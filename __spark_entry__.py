@@ -66,6 +66,10 @@ _EXCLUDE = {
     # rows stay (dedup_exact_docs, minhash_dedup_pairs, decontaminate_docs);
     # oracle-checked off-window like the rest:
     "dedup_turn_boilerplate",
+    # round-5 addition past the 50-cap: exact duplicate-substring removal
+    # (Lee et al. 2021 ExactSubstr) — the dedup family keeps its in-window
+    # rows; oracle-checked off-window (tests/test_offwindow_queries.py):
+    "dedup_substr_docs",
 }
 _FIRST = [
     "lww_latest_by_user",            # T5 LWW dedup (flagship)

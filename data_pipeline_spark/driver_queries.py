@@ -2015,6 +2015,66 @@ def dedup_turn_boilerplate(spark, sf_dir):
     return out.select("user_id", "text_dedup", "n_lines", "n_lines_kept")
 
 
+@query(
+    "dedup_substr_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i - 1 AS i, toks[i] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+    ), w AS (
+      SELECT doc_id, p, array_to_string(toks[p + 1 : p + 4], chr(31)) AS g
+      FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 4 + 1)) AS p) q
+      WHERE len(toks) >= 4
+    ), dup AS (
+      SELECT g FROM w GROUP BY g HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, w.p + o AS i
+      FROM w JOIN dup USING (g), LATERAL (SELECT unnest(range(0, 4)) AS o) z
+    ), spans AS (
+      SELECT doc_id, CAST(count(DISTINCT grp) AS INT) AS n_dup_spans FROM (
+        SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM cov) s GROUP BY doc_id
+    ), asm AS (
+      SELECT tok.doc_id,
+             COALESCE(string_agg(tok.tok, ' ' ORDER BY tok.i)
+                        FILTER (WHERE cov.i IS NULL), '') AS text_dedup,
+             CAST(count(*) AS INT) AS n_tokens,
+             CAST(COALESCE(count(*) FILTER (WHERE cov.i IS NULL), 0) AS INT)
+               AS n_tokens_kept
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(asm.text_dedup, '') AS text_dedup,
+           COALESCE(asm.n_tokens, 0) AS n_tokens,
+           COALESCE(asm.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(spans.n_dup_spans, 0) AS n_dup_spans
+    FROM documents d
+    LEFT JOIN asm USING (doc_id) LEFT JOIN spans USING (doc_id)
+    """,
+)
+def dedup_substr_docs(spark, sf_dir):
+    """Exact duplicate-substring removal (operators/corpus.dedup_substrings
+    — the ExactSubstr screen of Lee et al. 2021) over the documents table:
+    every 4-token window occurring ≥ 2 times anywhere in the corpus marks
+    its tokens, marked windows merge into maximal duplicate spans, and the
+    spans are cut from every occurrence. The oracle rebuilds the whole
+    pipeline in DuckDB — windows via LATERAL range + list slicing, the
+    duplicate set by exact gram equality, span count via gaps-and-islands
+    over covered token indices, text by ordered string_agg of the
+    surviving tokens. min_len=4 keeps real duplicate spans present at
+    sf0.01 (the production default is 50)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus_ops.dedup_substrings(docs, min_len=4, min_count=2)
+    return out.select(
+        "doc_id", "text_dedup", "n_tokens", "n_tokens_kept", "n_dup_spans"
+    )
+
+
 _PACK_BUDGET = 512
 
 

@@ -261,6 +261,133 @@ def dedup_lines(
     )
 
 
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring removal (the ExactSubstr screen of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    any token span of length ≥ `min_len` that occurs at ≥ `min_count`
+    positions ANYWHERE in the corpus (across documents or repeated inside
+    one) is removed from every occurrence. Finer-grained than `dedup_lines`
+    (no newline structure required) and exact where MinHash/SimHash are
+    approximate — this is the screen that catches licence blocks, quoted
+    chain-mail, and templated passages that near-dup document hashes miss.
+
+    Detection is the standard distributed reformulation of the paper's
+    suffix-array pass: every stride-1 `min_len`-token window is hashed, and
+    a window hash seen ≥ `min_count` times marks all `min_len` tokens it
+    covers. A duplicate span of length L ≥ min_len contributes exactly
+    L − min_len + 1 matching windows in each copy, so marked windows tile
+    the span completely and the merged cover equals the paper's maximal
+    duplicate spans (suffix arrays don't distribute; stride-1 k-gram
+    hashing trades one thin hash-per-token shuffle for that).
+
+    Appends to each input row:
+      text_dedup     — tokens outside every duplicate span, joined by a
+                       single space (whitespace is normalized; '' if the
+                       whole document was duplicated — rows are never
+                       dropped, survivorship is the caller's policy, same
+                       contract as dedup_lines/decontaminate)
+      n_tokens       — whitespace tokens in the document
+      n_tokens_kept  — tokens surviving the screen
+      n_dup_spans    — maximal duplicate spans removed
+
+    100-TB shape (mirrors dedup_lines, one stage denser):
+      1. frequency: one shuffle of (16-byte hash, id, pos) rows — one per
+         token position, the honest cost of exactness at substring
+         granularity — with the count partial-aggregated map-side; window
+         text never shuffles. Gram construction is O(tokens × min_len)
+         chars inside WholeStageCodegen (a rolling-hash pandas variant
+         would cut that constant, not the shuffle, so it stays Catalyst).
+      2. screen: the duplicate-hash set (heavy-hitter-bounded: ≤ windows /
+         min_count rows of one hash column) joins back onto the window
+         rows; left to AQE — broadcast in the common case, shuffle-hash on
+         a pathological corpus. Same deliberate non-forcing as
+         decontaminate / dedup_lines.
+      3. cover: per document, ONE groupBy(id) of int positions only
+         (collect_list of ints, map-side-combinable; bounded by tokens per
+         doc); span-merge and token filtering are row-local Catalyst folds
+         on the joined row — the document text itself never leaves its row.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    k = min_len
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.withColumn("_toks", toks)
+    n = F.size("_toks")
+    win_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda p: F.md5(
+                F.concat_ws("\x1f", F.slice("_toks", p + 1, k)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select(F.col(id_col), F.posexplode(win_hashes).alias("_p", "_h"))
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    covered = (
+        wins.join(dup, "_h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
+    )
+    joined = base.join(covered, id_col, "left").withColumn(
+        "_ps", F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    )
+    # merge sorted window starts into disjoint token intervals [lo, hi]:
+    # window p covers [p, p+k-1]; touching/overlapping windows (p ≤ hi+1)
+    # extend the last interval — O(spans) array rebuilds, spans ≪ tokens
+    last = lambda acc: F.element_at(acc, -1)
+    ivs = F.aggregate(
+        F.col("_ps"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= last(acc)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["lo"].alias("lo"),
+                        (p + k - 1).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("int").alias("lo"), (p + k - 1).cast("int").alias("hi")
+                    )
+                ),
+            )
+        ),
+    )
+    out = joined.withColumn("_ivs", ivs)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_ivs"), lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
+        ),
+    )
+    return out.select(
+        *df.columns,
+        F.concat_ws(" ", kept).alias("text_dedup"),
+        F.size("_toks").alias("n_tokens"),
+        F.size(kept).alias("n_tokens_kept"),
+        F.size("_ivs").alias("n_dup_spans"),
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text", counts: bool = False) -> DataFrame:
     """Scrub emails / phone-ish numbers / IPv4s from a text column
     (chained regexp_replace — whole-stage codegen, row-local, no shuffle).

@@ -403,3 +403,103 @@ def test_dedup_lines_matches_duckdb(spark, duck):
     assert (want["n_lines_kept"] < want["n_lines"]).any()
     assert (want["n_lines_kept"] > 0).any()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_dedup_substrings_known_values(spark):
+    """ExactSubstr screen (Lee et al. 2021) pinned against hand-computed
+    spans: a cross-document shared phrase is cut from BOTH copies as one
+    maximal span (consecutive duplicate windows merge), a within-document
+    repeat is cut at both occurrences (two spans), short and empty
+    documents pass through, and whitespace is normalized to single
+    spaces."""
+    from data_pipeline_spark.operators.corpus import dedup_substrings
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                # docs 1+2 share a 6-token phrase -> 3 duplicate 4-windows
+                # each, merging to ONE span covering the whole phrase
+                "alpha beta gamma delta epsilon zeta unique1 tail1",
+                "head2 alpha beta gamma delta epsilon zeta tail2",
+                # within-doc repeat of a 4-token phrase -> two spans
+                "one two three four X one two three four",
+                # shorter than min_len: untouched
+                "just three tokens",
+                "",
+                # whitespace normalization (tab + double space)
+                "padme  anakin\tleia",
+            ],
+        }
+    )
+    got = (
+        dedup_substrings(spark.createDataFrame(pdf), min_len=4, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "text_dedup"] == "unique1 tail1"
+    assert (got.loc[1, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [8, 2, 1]).all()
+    assert got.loc[2, "text_dedup"] == "head2 tail2"
+    assert (got.loc[2, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [8, 2, 1]).all()
+    assert got.loc[3, "text_dedup"] == "X"
+    assert (got.loc[3, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [9, 1, 2]).all()
+    assert got.loc[4, "text_dedup"] == "just three tokens"
+    assert (got.loc[4, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [3, 3, 0]).all()
+    assert got.loc[5, "text_dedup"] == ""
+    assert (got.loc[5, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [0, 0, 0]).all()
+    assert got.loc[6, "text_dedup"] == "padme anakin leia"
+
+    with pytest.raises(ValueError, match="min_len"):
+        dedup_substrings(spark.createDataFrame(pdf), min_len=1)
+
+
+def test_dedup_substrings_span_extension(spark):
+    """A duplicate span LONGER than min_len is removed in full (every
+    stride-1 window inside it is duplicated, so the merged cover equals
+    the maximal span), and a doc that is entirely one duplicate span
+    dedups to ''."""
+    from data_pipeline_spark.operators.corpus import dedup_substrings
+
+    phrase = " ".join(f"w{i}" for i in range(10))  # 10-token shared span
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"{phrase} solo1 solo2", phrase],
+        }
+    )
+    got = (
+        dedup_substrings(spark.createDataFrame(pdf), min_len=4, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "text_dedup"] == "solo1 solo2"
+    assert (got.loc[1, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [12, 2, 1]).all()
+    assert got.loc[2, "text_dedup"] == ""
+    assert (got.loc[2, ["n_tokens", "n_tokens_kept", "n_dup_spans"]] == [10, 0, 1]).all()
+
+
+def test_dedup_substrings_matches_duckdb(spark, duck):
+    """Operator-level driver-style oracle: the SAME SQL the off-window
+    driver compare runs (driver_queries.SQL['dedup_substr_docs']) executed
+    here over the sf0.01 documents table, row-for-row equal to the
+    operator at min_len=4."""
+    from data_pipeline_spark import driver_queries
+    from data_pipeline_spark.operators.corpus import dedup_substrings
+
+    got = (
+        dedup_substrings(_docs(spark).select("doc_id", "text"), min_len=4)
+        .select("doc_id", "text_dedup", "n_tokens", "n_tokens_kept", "n_dup_spans")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(driver_queries.SQL["dedup_substr_docs"] + " ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    # the screen must actually fire at this min_len or the test is vacuous
+    assert (want["n_tokens_kept"] < want["n_tokens"]).any()
+    assert (want["n_tokens_kept"] > 0).any()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
