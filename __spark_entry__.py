@@ -70,6 +70,13 @@ _EXCLUDE = {
     # (Lee et al. 2021 ExactSubstr) — the dedup family keeps its in-window
     # rows; oracle-checked off-window (tests/test_offwindow_queries.py):
     "dedup_substr_docs",
+    # round-5 additions past the 50-cap: SemDeDup-style embedding-dedup
+    # survivor selection (the embedding-neardup family's in-window row
+    # stays embedding_near_dup_pairs) and the CCNet-style LM-perplexity
+    # quality gate (the quality family's in-window row stays
+    # doc_quality_scores). Both oracle-checked off-window like the rest:
+    "embedding_dedup_survivors",
+    "doc_lm_perplexity",
 }
 _FIRST = [
     "lww_latest_by_user",            # T5 LWW dedup (flagship)

@@ -1574,6 +1574,13 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup detection, blocked by IVF cell (label):
     pairwise cosine only within a cell — the blocking that makes pairwise
     feasible at corpus scale (cells shrink the quadratic term by ~|cells|²)."""
+    return _embedding_pairs(spark, sf_dir)
+
+
+def _embedding_pairs(spark, sf_dir) -> DataFrame:
+    """(v1, v2, cos_sim) cell-blocked cosine near-dup candidate pairs —
+    shared by embedding_near_dup_pairs and the SemDeDup-style survivor
+    selection in embedding_dedup_survivors."""
     e = _t(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
@@ -2161,3 +2168,126 @@ def corpus_sample_mix(spark, sf_dir):
         strata_col="source", key_col="doc_id",
     )
     return mixed.select("doc_id", "source", "epoch")
+
+
+_COS_DUCK = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "embedding_dedup_survivors",
+    f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS_DUCK} >= 0.35
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    walk(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u
+    ),
+    cc AS (SELECT node AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS keep_vec_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM cc GROUP BY cluster_id HAVING COUNT(*) > 1
+    """,
+)
+def embedding_dedup_survivors(spark, sf_dir):
+    """SemDeDup-style semantic dedup DECISION (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): embedding-space near-dup pairs blocked by IVF cell
+    (the paper's k-means clusters; here the label column) → connected
+    components → one surviving representative per semantic cluster (min
+    vec_id — deterministic) + the count each cluster drops. Completes the
+    embedding-dedup family end-to-end the way dedup_survivors does for
+    text near-dups: pairs alone don't say which items to drop; transitive
+    chains must collapse to ONE survivor.
+
+    100-TB shape: pairwise cosine confined to cells (quadratic term shrunk
+    ~|cells|²), components by the shared min-label propagation
+    (operators/corpus.connected_components — one join + one
+    map-side-combinable groupBy per round, rounds bounded by component
+    diameter; clique-ish dedup graphs converge in 2-3). Oracle: DuckDB
+    recursive CTE computing the identical min-label fixpoint over the same
+    cosine pairs."""
+    pairs = _embedding_pairs(spark, sf_dir).select("v1", "v2")
+    nodes = _t(spark, sf_dir, "embeddings").select("vec_id")
+    cc = corpus_ops.connected_components(pairs, nodes=nodes)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"), F.min("node").alias("keep_vec_id"))
+        .where(F.col("n_vecs") > 1)
+        .select(
+            "cluster_id", "n_vecs", "keep_vec_id",
+            (F.col("n_vecs") - 1).alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "doc_lm_perplexity",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, lang, t[ix.i] AS w1, t[ix.i + 1] AS w2
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM pairs WHERE lang = 'en' GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, SUM(cb) AS cc FROM big GROUP BY 1),
+    v AS (
+      SELECT COUNT(DISTINCT u.w) + 1 AS vsz
+      FROM (SELECT unnest(t) AS w FROM tok WHERE lang = 'en') u
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             COUNT(*) AS nb,
+             SUM(CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END) AS nu,
+             SUM(ln((COALESCE(b.cb, 0) + 1.0) / (COALESCE(c.cc, 0) + v.vsz)))
+               / COUNT(*) AS alp
+      FROM pairs p
+      LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN ctx c ON p.w1 = c.w1
+      CROSS JOIN v
+      GROUP BY 1
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.nu, 0) AS BIGINT) AS n_unseen_bigrams,
+           ROUND(s.alp, 4) AS avg_logp,
+           ROUND(exp(-s.alp), 2) AS ppl
+    FROM tok t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    """,
+)
+def doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM-perplexity quality gate (operators/corpus.
+    lm_perplexity): a bigram model with add-one smoothing is trained on the
+    trusted reference slice (the labeled-English documents — CCNet trains
+    on Wikipedia) and EVERY document is scored by mean ln P per token
+    transition; high perplexity flags garble / boilerplate / off-language
+    text for the quality cut. The oracle retrains the identical model and
+    rescoring in DuckDB (same tokenization, counts, smoothing, V+1 unseen
+    reserve)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = corpus_ops.lm_perplexity(
+        docs.select("doc_id", "lang", "text"),
+        ref_df=docs.where(F.col("lang") == "en"),
+    )
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", "n_unseen_bigrams", "avg_logp", "ppl"
+    )

@@ -388,6 +388,110 @@ def dedup_substrings(
     )
 
 
+def lm_perplexity(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    max_bigrams: int | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document by its perplexity under an n-gram LM
+    trained on a trusted reference slice — the standard web-corpus quality
+    gate between the heuristic filters (repetition_profile,
+    doc_quality_scores) and dedup. Low perplexity ≈ fluent in-distribution
+    text; high ≈ boilerplate/garble/wrong-language.
+
+    Model: bigram counts over `ref_df` (default: df itself — a
+    self-perplexity repetitiveness signal) with add-alpha smoothing:
+        P(w | prev) = (C(prev, w) + alpha) / (C(prev) + alpha * V')
+    where V' = |distinct reference unigrams| + 1 (the +1 reserves unseen
+    mass). Tokens are lowercase whitespace words — the point is a
+    deterministic, engine-portable score, not linguistic fidelity (CCNet
+    itself uses a 5-gram KenLM; the pipeline shape is identical).
+
+    Appends to each input row:
+      n_bigrams        — scored token transitions (0 for <2-token docs)
+      n_unseen_bigrams — transitions absent from the reference model
+      avg_logp         — mean ln P per transition, rounded 4dp (null if no
+                         bigrams — rows are never dropped)
+      ppl              — exp(-avg_logp), rounded 2dp (null likewise)
+
+    100-TB shape: the model is two aggregate tables over the REFERENCE
+    slice only (one thin (w1, w2) shuffle with map-side partial counts —
+    document text never shuffles); `max_bigrams` caps the model via ONE
+    TakeOrderedAndProject (count desc, then lexicographic — deterministic)
+    so the scoring joins broadcast, which is exactly CCNet's
+    train-once/broadcast-model architecture. Scoring is a per-token-pair
+    explode (row-local) + two thin hash joins left to AQE + ONE
+    map-side-combinable groupBy(id) of int/double partials. The vocabulary
+    scalar rides a broadcast cross join — no driver collect anywhere.
+    """
+    ref = ref_df if ref_df is not None else df
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        t = F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
+        )
+        d = d.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        n = F.size("_t")
+        arr = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return d.select("_id", F.explode(arr).alias("p")).select(
+            "_id", "p.w1", "p.w2"
+        )
+
+    big = _bigrams(ref).groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    if max_bigrams is not None:
+        big = big.orderBy(F.desc("cb"), "w1", "w2").limit(max_bigrams)
+    ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    vsz = (
+        ref.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .agg((F.count_distinct("w") + F.lit(1)).alias("_vsz"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha) * F.col("_vsz"))
+    )
+    scores = (
+        _bigrams(df)
+        .join(big, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("_nb"),
+            F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0)).alias("_nu"),
+            (F.sum(logp) / F.count("*")).alias("_alp"),
+        )
+    )
+    out = df.join(scores, F.col(id_col) == F.col("_id"), "left")
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("_nu"), F.lit(0)).cast("long").alias("n_unseen_bigrams"),
+        F.round(F.col("_alp"), 4).alias("avg_logp"),
+        F.round(F.exp(-F.col("_alp")), 2).alias("ppl"),
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text", counts: bool = False) -> DataFrame:
     """Scrub emails / phone-ish numbers / IPv4s from a text column
     (chained regexp_replace — whole-stage codegen, row-local, no shuffle).

@@ -503,3 +503,68 @@ def test_dedup_substrings_matches_duckdb(spark, duck):
     assert (want["n_tokens_kept"] < want["n_tokens"]).any()
     assert (want["n_tokens_kept"] > 0).any()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_lm_perplexity_known_values(spark):
+    """Hand-computed bigram model: ref 'a b a c' → C(a,b)=C(b,a)=C(a,c)=1,
+    C(a)=2, C(b)=1, V' = |{a,b,c}|+1 = 4 (add-one smoothing)."""
+    import math
+
+    from data_pipeline_spark.operators.corpus import lm_perplexity
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b a c"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["a b x", "z", "  "]}
+        )
+    )
+    got = (
+        lm_perplexity(docs, ref_df=ref)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: (a,b): (1+1)/(2+4); (b,x): unseen, (0+1)/(1+4)
+    alp = (math.log(2 / 6) + math.log(1 / 5)) / 2
+    assert got.loc[0, "n_bigrams"] == 2
+    assert got.loc[0, "n_unseen_bigrams"] == 1
+    assert got.loc[0, "avg_logp"] == pytest.approx(round(alp, 4))
+    assert got.loc[0, "ppl"] == pytest.approx(round(math.exp(-alp), 2))
+    # doc 2: single token → no bigrams, null scores, row kept
+    assert got.loc[1, "n_bigrams"] == 0
+    assert pd.isna(got.loc[1, "avg_logp"]) and pd.isna(got.loc[1, "ppl"])
+    # doc 3: whitespace-only → empty tokens filtered → no bigrams
+    assert got.loc[2, "n_bigrams"] == 0
+
+
+def test_lm_perplexity_capped_model(spark):
+    """max_bigrams keeps the top-B by (count desc, w1, w2): all ref counts
+    are 1, so cap=2 keeps (a,b),(a,c) lexicographically — (b,a) becomes
+    unseen and its context count drops to 0."""
+    import math
+
+    from data_pipeline_spark.operators.corpus import lm_perplexity
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b a c"]})
+    )
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["b a"]}))
+    got = lm_perplexity(docs, ref_df=ref, max_bigrams=2).toPandas()
+    # (b,a): dropped from the capped model → cb=0, cc(b)=0, V'=4 unchanged
+    alp = math.log((0 + 1) / (0 + 4))
+    assert got.loc[0, "n_unseen_bigrams"] == 1
+    assert got.loc[0, "avg_logp"] == pytest.approx(round(alp, 4))
+
+
+def test_lm_perplexity_self_reference_default(spark):
+    """ref_df=None scores df against itself — every bigram is then seen."""
+    from data_pipeline_spark.operators.corpus import lm_perplexity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "c d"]})
+    )
+    got = lm_perplexity(docs).toPandas()
+    assert (got["n_unseen_bigrams"] == 0).all()
+    assert (got["n_bigrams"] > 0).all()
