@@ -564,12 +564,15 @@ class DedupIndexJob:
             .where(F.col("d1") < F.col("d2"))
             .distinct()
         )
+        # one broadcast hash semi-join per side — an OR-condition join would
+        # degrade to BroadcastNestedLoopJoin (|cand| × |ids| comparisons;
+        # measured 130 s at 10k ids at 82k docs, scripts/bench_dedup_index.py)
         ids_d = spark.createDataFrame([(c,) for c in ids], "d string")
         touched = cand.join(
-            F.broadcast(ids_d),
-            (F.col("d1") == F.col("d")) | (F.col("d2") == F.col("d")),
-            "semi",
-        )
+            F.broadcast(ids_d), F.col("d1") == F.col("d"), "semi"
+        ).unionByName(
+            cand.join(F.broadcast(ids_d), F.col("d2") == F.col("d"), "semi")
+        ).dropDuplicates(["d1", "d2"])
         # partner signatures: point-read when the candidate set is small
         # enough to enumerate, else the full (pinned) signature read joins
         # distributed — never a driver-side partner list on the big path
