@@ -2144,6 +2144,36 @@ class LakehouseTable:
             # instead: collapse each hot bucket's delta stack into ONE delta
             # file, tombstones kept.
             return self._squash(spark, snap, sel)
+        return self._rewrite_buckets(spark, snap, sel, "compact")
+
+    def recluster(self, spark: SparkSession, buckets: set[int] | None = None) -> dict:
+        """Rewrite selected buckets' base layout under the CURRENT sort
+        settings and CURRENT manifest bounds — the `OPTIMIZE ZORDER BY`
+        re-run analog (Delta) / sort-order rewrite (Iceberg
+        rewrite_data_files). Same fold as compact, but runs even with ZERO
+        pending deltas: the use case is layout drift, not delta depth — a
+        backfill/append widened a z column's recorded range (older files
+        were z-sorted against stale bounds, so their hyper-rectangles are
+        skewed and `read(where=)` skips little), or a DDL changed
+        cluster_by/cluster_order after data existed. Work is O(selected
+        buckets): at 10^10 rows recluster the buckets a skipping audit
+        flags, never the table because one column's range moved.
+
+        Refuses under a live spec migration (a tombstone here may shadow a
+        base row in an old-spec file — same rule as compact's squash path);
+        finish migrate_spec first."""
+        snap = self.current_snapshot()
+        if self._mixed_spec(snap):
+            return {"skipped": True, "reason": "mixed_spec"}
+        have = {e["bucket"] for e in self._files(snap)}
+        sel = have if buckets is None else (set(buckets) & have)
+        if not sel:
+            return {"skipped": True}
+        return self._rewrite_buckets(spark, snap, sel, "recluster")
+
+    def _rewrite_buckets(
+        self, spark: SparkSession, snap: dict, sel: set[int], kind: str
+    ) -> dict:
         rec = self._reconciled(spark, snap, buckets=sel)
         new_id = self._next_id(snap)
         entries: list[dict] = []
@@ -2171,7 +2201,7 @@ class LakehouseTable:
             **snap,
             "snapshot_id": new_id,
             "parent": snap["snapshot_id"],
-            "kind": "compact",
+            "kind": kind,
             "batch_id": None,
             "delta_commits": max([0] + list(remaining_depth.values())),
             "manifests": carried,
@@ -2992,7 +3022,7 @@ class LakehouseTable:
             new_entries = [e for e in s_files if e["path"] not in prev_files]
             prev_files.update(e["path"] for e in s_files)
             if s["kind"] in (
-                "create", "ddl", "compact", "rollback", "rebucket",
+                "create", "ddl", "compact", "recluster", "rollback", "rebucket",
                 "rewrite_manifests", "evolve_spec", "migrate_spec",
             ) or not new_entries:
                 continue
@@ -3088,8 +3118,8 @@ class LakehouseTable:
                 ):
                     return None
                 delta_e.extend(d)
-            # create/ddl/compact/rebucket/rewrite_manifests/evolve_spec/
-            # migrate_spec: no logical row changes
+            # create/ddl/compact/recluster/rebucket/rewrite_manifests/
+            # evolve_spec/migrate_spec: no logical row changes
         if not delta_e:
             return spark.createDataFrame(
                 [], T.StructType([f for f in self.schema_struct(to_snap).fields

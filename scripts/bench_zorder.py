@@ -123,13 +123,14 @@ def main() -> None:
         "layouts": {},
     }
     counts = {}
-    for order, t in tables.items():
+
+    def measure(t) -> dict:
         rep: dict = {}
         for name, where in preds.items():
             plan = t.plan_scan(where=where)
             n = t.read(spark, where=where).count()
             counts.setdefault(name, n)
-            assert counts[name] == n, (order, name, counts[name], n)
+            assert counts[name] == n, (name, counts[name], n)
             rep[name] = {
                 "files_total": plan["files_total"],
                 "files_pruned": plan["files_pruned"],
@@ -139,7 +140,20 @@ def main() -> None:
                     .agg(F.count("*"), F.max("role")).collect()
                 ), 3),
             }
-        out["layouts"][order] = rep
+        return rep
+
+    for order, t in tables.items():
+        out["layouts"][order] = measure(t)
+
+    # recluster pass: the build's final compaction z-sorted against bounds
+    # recorded at the halfway point, so the newer half clamped to edge
+    # cells (the post-backfill layout-drift scenario) — recluster rewrites
+    # under the now-complete bounds and the z layout reaches steady state
+    t = tables["zorder"]
+    s = time.time()
+    assert t.recluster(spark)["skipped"] is False
+    out["recluster_s"] = round(time.time() - s, 2)
+    out["layouts"]["zorder_reclustered"] = measure(t)
     print(json.dumps(out))
     shutil.rmtree(root, ignore_errors=True)
 

@@ -47,6 +47,11 @@ def main() -> None:
     sub.add_parser("history")
     c = sub.add_parser("compact")
     c.add_argument("--buckets", default=None, help="comma-separated bucket ids; default: all with deltas")
+    rc = sub.add_parser("recluster",
+                        help="rewrite base layout under current sort order + "
+                             "bounds (OPTIMIZE ZORDER re-run); runs even with "
+                             "zero pending deltas")
+    rc.add_argument("--buckets", default=None, help="comma-separated bucket ids; default: all")
     e = sub.add_parser("expire")
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--older-than-seconds", type=float, default=None,
@@ -211,6 +216,11 @@ def main() -> None:
                 {int(b) for b in args.buckets.split(",")} if args.buckets else None
             )
             out = table.compact(spark, buckets=buckets)
+        elif args.cmd == "recluster":
+            buckets = (
+                {int(b) for b in args.buckets.split(",")} if args.buckets else None
+            )
+            out = table.recluster(spark, buckets=buckets)
         elif args.cmd == "expire":
             out = table.expire_snapshots(
                 keep_last=args.keep_last,

@@ -227,3 +227,105 @@ def test_zorder_degrades_to_linear_when_columns_drop(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _frame(t.read(spark)), _frame(LakehouseTable(path2).read(spark))
     )
+
+
+# ---------------------------------------------------------------- recluster
+
+
+def _stale_bounds_ztable(spark, tmp_path, name="stale"):
+    """A z table whose final layout was normalized against STALE bounds —
+    the post-backfill scenario recluster exists for: batch 0 covers a tiny
+    leading ts slice and its compaction records those narrow bounds; batch 1
+    extends ts ~100x beyond them, so the second compaction's z-sort clamps
+    almost every row to the ts edge cell and the layout degenerates to
+    turn-major (ts pruning gets nothing)."""
+    path = str(tmp_path / name)
+    LakehouseTable(path).create(
+        TRANSCRIPT_SCHEMA,
+        n_buckets=2,
+        compact_every=10**9,
+        cluster_by=["ts", "turn_idx"],
+        cluster_order="zorder",
+        target_file_rows=400,
+        stats_columns=["ts", "turn_idx"],
+    )
+    job = IngestJob(path, str(tmp_path / f"ctl-{name}"))
+    first = generate_feed_pandas(FeedSpec(n_events=200, n_convs=40, seed=7))
+    job.apply_batch(
+        spark, 0, spark.createDataFrame(first, schema=CHANGE_EVENT_SCHEMA)
+    )
+    t = LakehouseTable(path)
+    t.compact(spark)  # records bounds covering ~200 s of ts
+    rest = generate_feed_pandas(
+        FeedSpec(n_events=12_000, n_convs=300, seed=8)
+    )
+    rest["lsn"] = rest["lsn"] + 200
+    rest["ts"] = rest["ts"] + pd.Timedelta(seconds=200)
+    job.apply_batch(
+        spark, 1, spark.createDataFrame(rest, schema=CHANGE_EVENT_SCHEMA)
+    )
+    t = LakehouseTable(path)
+    t.compact(spark)  # z-sorts against the STALE (batch-0) bounds
+    return LakehouseTable(path)
+
+
+def test_recluster_recovers_pruning_after_bounds_widen(spark, tmp_path):
+    t = _stale_bounds_ztable(spark, tmp_path)
+    before_full = _frame(t.read(spark))
+    lo, hi = t.read(spark).agg(F.min("ts"), F.max("ts")).first()
+    thr = hi - datetime.timedelta(seconds=int((hi - lo).total_seconds() * 0.05))
+    where = [("ts", ">=", thr)]
+    pruned_before = t.plan_scan(where=where)["files_pruned"]
+
+    res = t.recluster(spark)
+    assert res["skipped"] is False
+    assert t.current_snapshot()["kind"] == "recluster"
+
+    # layout-only: contents identical, full and filtered
+    pd.testing.assert_frame_equal(before_full, _frame(t.read(spark)))
+    pd.testing.assert_frame_equal(
+        _frame(t.read(spark, where=where)),
+        _frame(t.read(spark).where(F.col("ts") >= F.lit(thr))),
+    )
+    # the point: the trailing ts window now skips files it couldn't before
+    # (the stale-bounds layout clamped ~98% of rows into the ts edge cell)
+    plan = t.plan_scan(where=where)
+    assert plan["files_pruned"] > pruned_before
+    assert plan["files_pruned"] > 0
+
+
+def test_recluster_is_layout_only_to_changelog_consumers(spark, tmp_path):
+    t = _stale_bounds_ztable(spark, tmp_path, name="chlog")
+    frm = t.current_snapshot()["snapshot_id"]
+    assert t.recluster(spark)["skipped"] is False
+    to = t.current_snapshot()["snapshot_id"]
+    # incremental consumers crossing the recluster window see NO changes
+    assert t.read_changes(spark, frm, to).count() == 0
+    assert t.net_changes(spark, frm, to).count() == 0
+
+
+def test_recluster_runs_without_deltas_and_folds_pending_ones(spark, tmp_path):
+    t = _stale_bounds_ztable(spark, tmp_path, name="fold")
+    # zero pending deltas: compact skips, recluster does not
+    assert t.compact(spark)["skipped"] is True
+    assert t.recluster(spark)["skipped"] is False
+
+    # with pending deltas it folds them exactly like compact (tombstones
+    # dropped, delta stack cleared) — one rewrite, not recluster-then-compact
+    job = IngestJob(t.path, t.path + "-ctl2")
+    upd = generate_feed_pandas(FeedSpec(n_events=500, n_convs=40, seed=9))
+    upd["lsn"] = upd["lsn"] + 50_000
+    job.apply_batch(spark, 5, spark.createDataFrame(upd, schema=CHANGE_EVENT_SCHEMA))
+    t = LakehouseTable(t.path)
+    want = _frame(t.read(spark))
+    assert t.delta_depth(t.current_snapshot())
+    assert t.recluster(spark)["skipped"] is False
+    assert not t.delta_depth(t.current_snapshot())
+    pd.testing.assert_frame_equal(want, _frame(t.read(spark)))
+
+
+def test_recluster_refuses_during_spec_migration(spark, tmp_path):
+    t = _stale_bounds_ztable(spark, tmp_path, name="mix")
+    t.evolve_bucket_spec(spark, 4)
+    res = t.recluster(spark)
+    assert res["skipped"] is True and res["reason"] == "mixed_spec"
