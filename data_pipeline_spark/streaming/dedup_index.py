@@ -524,14 +524,25 @@ class DedupIndexJob:
           member rows. O(|ids| × bucket size), a handful of pruned file
           reads.
         - above it: ONE distributed pass over the bands table — bucket rows
-          containing any given id are kept by an exploded broadcast semi-
-          join, candidates pair within those rows only. Linear in the bands
-          table, never all-pairs, nothing collected on the driver."""
+          containing any given id are kept by an exploded broadcast join,
+          and candidates are generated id-anchored (touching id × member,
+          never the bucket's all-pairs). Linear in the bands table, nothing
+          collected on the driver."""
         if not ids:
             return self._est_pairs(
                 spark.createDataFrame([], "d1 string, d2 string"),
                 self.signatures(spark),
             )
+        # Candidates are generated DIRECTLY as (touching id × bucket member)
+        # pairs — |ids ∩ bucket| × k per bucket, NOT the bucket's k²/2
+        # all-pairs then a filter. With mass-duplicate data LSH buckets run
+        # fat (thousands of members), and the all-pairs-then-filter shape
+        # measured 31 s at 100 ids on a 312k-doc index; id-anchored
+        # generation keeps the lookup O(|ids| × bucket size) by
+        # construction. (An earlier variant also filtered with ONE
+        # OR-condition join, which Spark can only run as
+        # BroadcastNestedLoopJoin — |cand| × |ids| comparisons, 130 s at
+        # 10k ids; scripts/bench_dedup_index.py tracks both regressions.)
         if len(ids) <= self.lookup_point_threshold:
             my_sig = self.sig.read(
                 spark, snapshot_id=self._pinned("signatures"), conv_ids=ids
@@ -543,9 +554,15 @@ class DedupIndexJob:
             rows = self._read_keys(spark, self.bands, keys).select(
                 F.from_json("members", _MEMBERS_T).alias("ms")
             )
+            # ids is driver-bounded here (≤ lookup_point_threshold): a
+            # literal array keeps the anchor extraction row-local
+            lit_ids = F.array(*[F.lit(c) for c in ids])
+            hits = rows.select(
+                F.explode(F.array_intersect("ms", lit_ids)).alias("da"), "ms"
+            )
         else:
             ids_df = F.broadcast(
-                spark.createDataFrame([(c,) for c in ids], "m string")
+                spark.createDataFrame([(c,) for c in ids], "da string")
             )
             rows = (
                 self.bands.read(spark, snapshot_id=self._pinned("bands"))
@@ -553,26 +570,20 @@ class DedupIndexJob:
                     F.col("conv_id").alias("key"),
                     F.from_json("members", _MEMBERS_T).alias("ms"),
                 )
-                .select("key", "ms", F.explode("ms").alias("m"))
-                .join(ids_df, "m", "semi")
-                .select("key", "ms").dropDuplicates(["key"])
-                .select("ms")
+                .select("key", "ms", F.explode("ms").alias("da"))
+                .join(ids_df, "da", "inner")  # one bucket row PER touching id
+                .select("da", "ms")
             )
-        cand = (
-            rows.select(F.explode("ms").alias("d1"), "ms")
-            .select("d1", F.explode("ms").alias("d2"))
-            .where(F.col("d1") < F.col("d2"))
-            .distinct()
+            hits = rows
+        touched = (
+            hits.select("da", F.explode("ms").alias("db"))
+            .where(F.col("da") != F.col("db"))
+            .select(
+                F.least("da", "db").alias("d1"),
+                F.greatest("da", "db").alias("d2"),
+            )
+            .dropDuplicates(["d1", "d2"])
         )
-        # one broadcast hash semi-join per side — an OR-condition join would
-        # degrade to BroadcastNestedLoopJoin (|cand| × |ids| comparisons;
-        # measured 130 s at 10k ids at 82k docs, scripts/bench_dedup_index.py)
-        ids_d = spark.createDataFrame([(c,) for c in ids], "d string")
-        touched = cand.join(
-            F.broadcast(ids_d), F.col("d1") == F.col("d"), "semi"
-        ).unionByName(
-            cand.join(F.broadcast(ids_d), F.col("d2") == F.col("d"), "semi")
-        ).dropDuplicates(["d1", "d2"])
         # partner signatures: point-read when the candidate set is small
         # enough to enumerate, else the full (pinned) signature read joins
         # distributed — never a driver-side partner list on the big path
