@@ -185,41 +185,62 @@ def _zorder_expr(cols: list[tuple[str, str, int, int]]) -> F.Column:
     Catalyst expression. cols = (name, type, lo, hi) with lo/hi in the
     column's _stat_codec units (ints; epoch micros for timestamps).
 
-    Raw byte-interleave of unnormalized values degenerates whenever ranges
+    Raw interleave of unnormalized values degenerates whenever ranges
     differ (the classic Morton pitfall): epoch-micros timestamps vary in
-    their middle bytes while a small int varies only in its last, so the
-    wide column monopolizes every significant interleave position and the
-    "z-order" collapses to a plain sort on it. So each column is first
-    RANGE-NORMALIZED to 16 bits against the table's recorded bounds —
-    scaled = clamp((v - lo) / ceil(span / 2^16), 0..65535) — the same idea
-    as Delta's ZORDER range-partition ids, but driven by manifest stats the
-    engine already maintains instead of an extra analysis pass. Values
-    outside [lo, hi] (data newer than the bounds) clamp to the edge cells;
-    null → cell 0 (nulls cluster in the lowest files).
+    their middle bits while a small int varies only in its last few, so
+    the wide column monopolizes every significant interleave position and
+    the "z-order" collapses to a plain sort on it. So each column is first
+    NORMALIZED to a 16-bit cell against the table's recorded bounds with a
+    power-of-two scale — wide spans shift DOWN (cell = (v-lo) >> (sb-16),
+    sb = span bit length), narrow spans shift UP into the cell's HIGH bits
+    (cell = (v-lo) << (16-sb)) so a small-cardinality column (turn_idx
+    1..16) contends for the top interleave positions instead of parking in
+    always-zero low bits — the same idea as Delta's ZORDER range-partition
+    ids, but driven by manifest stats the engine already maintains, and
+    exact in integer shifts (no double division). Values outside [lo, hi]
+    (data newer than the bounds) clamp to the edge cells; null → cell 0
+    (nulls cluster in the lowest files).
 
-    The interleave emits hex byte pairs alternating column-major-by-byte:
-    col0[hi] col1[hi] col0[lo] col1[lo] — lexicographic order of the lpad-2
-    uppercase-hex string equals numeric byte order ('0'<'9'<'A'<'F' in
-    ASCII). The whole key is one WholeStageCodegen projection; the sort
-    stays task-local (sortWithinPartitions), exactly like the linear
-    cluster_by path."""
+    The interleave is BIT-level, round-robin MSB-first across columns
+    (z bit 0 = col0 bit 15, z bit 1 = col1 bit 15, z bit 2 = col0 bit 14,
+    …): byte-level interleaving would hand the 8 most significant z bits
+    to col0 alone, so any layout with fewer than ~256 files per bucket
+    never subdivides past col0's top byte and the second dimension gets no
+    pruning at all (measured: the reclustered-arm regression in
+    scripts/bench_zorder.py). Bits pack MSB-first into 64-bit words
+    rendered as lpad-16 uppercase hex — lexicographic order of the hex
+    string equals unsigned numeric order (two's-complement hex of a
+    bit-63 word starts '8'..'F', sorting after all positives, which IS
+    unsigned order). The whole key is one WholeStageCodegen projection;
+    the sort stays task-local (sortWithinPartitions), exactly like the
+    linear cluster_by path."""
     scaled = []
     for name, typ, lo, hi in cols:
+        lo, hi = int(lo), int(hi)
         c = F.col(name)
         u = F.unix_micros(c) if typ == "timestamp" else c.cast("long")
-        bw = max((int(hi) - int(lo)) // (1 << _Z_BITS), 0) + 1
-        s = (F.coalesce(u, F.lit(int(lo))) - F.lit(int(lo))) / F.lit(bw)
-        s = F.floor(s).cast("long")
-        scaled.append(
-            F.greatest(F.lit(0), F.least(F.lit((1 << _Z_BITS) - 1), s))
-        )
-    parts = []
-    for k in range(_Z_BITS // 8):
-        shift = _Z_BITS - 8 * (k + 1)
-        for s in scaled:
-            byte = F.shiftrightunsigned(s, shift).bitwiseAND(F.lit(255))
-            parts.append(F.lpad(F.hex(byte), 2, "0"))
-    return F.concat(*parts)
+        u = F.coalesce(u, F.lit(lo))
+        u = F.greatest(F.lit(lo), F.least(F.lit(hi), u)) - F.lit(lo)
+        sb = max((hi - lo).bit_length(), 1)
+        if sb > _Z_BITS:
+            s = F.shiftrightunsigned(u, sb - _Z_BITS)
+        else:
+            s = F.shiftleft(u, _Z_BITS - sb)
+        scaled.append(s)
+    n = len(scaled)
+    total = _Z_BITS * n
+    words: list[F.Column] = []
+    acc: F.Column | None = None
+    acc_bits = 0
+    for p in range(total):  # p = output bit index, 0 = most significant
+        b = _Z_BITS - 1 - (p // n)  # source bit within the 16-bit cell
+        bit = F.shiftrightunsigned(scaled[p % n], b).bitwiseAND(F.lit(1))
+        acc = bit if acc is None else F.shiftleft(acc, 1).bitwiseOR(bit)
+        acc_bits += 1
+        if acc_bits == 64 or p == total - 1:
+            words.append(F.lpad(F.hex(acc), (acc_bits + 3) // 4, "0"))
+            acc, acc_bits = None, 0
+    return F.concat(*words)
 
 
 def with_commit_retry(fn, max_retries: int = 5, base_backoff: float = 0.05):

@@ -154,10 +154,16 @@ def test_production_day_everything_at_once(spark, tmp_path):
         if bid == 3:
             wap.branch.evolve_bucket_spec(spark, 8)
             migrating = True
+            # layout rewrite is refused while two specs are live (a
+            # tombstone may shadow a base row in an old-spec file)
+            assert wap.branch.recluster(spark)["reason"] == "mixed_spec"
         elif migrating:
             out = wap.branch.migrate_spec(spark, max_old_buckets=1)
             if out.get("remaining_old_files", 0) == 0:
                 migrating = False
+                # ... and lands the moment the spec settles, staged on the
+                # WAP branch like every other maintenance commit
+                assert wap.branch.recluster(spark)["skipped"] is False
 
         kinds_seen |= {s["kind"] for s in t.history()}
         kinds_seen |= {s["kind"] for s in wap.branch.history()}
@@ -201,7 +207,7 @@ def test_production_day_everything_at_once(spark, tmp_path):
 
     # --- every maintenance op landed at least once
     assert {"merge", "compact", "rewrite_manifests", "evolve_spec",
-            "migrate_spec"} <= kinds_seen, kinds_seen
+            "migrate_spec", "recluster"} <= kinds_seen, kinds_seen
     assert not migrating, "spec migration never finished"
     assert any(g.get("removed_snapshots") for g in gc_runs), \
         "expiry never removed anything"

@@ -30,18 +30,21 @@ from data_pipeline_spark.streaming.ingest import IngestJob
 
 
 def _py_morton(vals, bounds):
-    """16-bit range-normalized byte-interleaved Morton key — the Python
-    oracle for _zorder_expr's hex string."""
-    out = bytearray()
+    """16-bit power-of-two-normalized BIT-interleaved Morton key — the
+    Python oracle for _zorder_expr's hex string (cells via clamp + shift,
+    z bits round-robin MSB-first across columns)."""
     cells = []
     for v, (lo, hi) in zip(vals, bounds):
-        bw = max((hi - lo) // (1 << 16), 0) + 1
-        s = 0 if v is None else (v - lo) // bw
-        cells.append(min(max(s, 0), (1 << 16) - 1))
-    for k in (8, 0):
-        for c in cells:
-            out.append((c >> k) & 0xFF)
-    return bytes(out)
+        v = lo if v is None else min(max(v, lo), hi)
+        sb = max((hi - lo).bit_length(), 1)
+        s = (v - lo) >> (sb - 16) if sb > 16 else (v - lo) << (16 - sb)
+        cells.append(s)
+    n = len(cells)
+    out = 0
+    for p in range(16 * n):
+        b = 15 - (p // n)
+        out = (out << 1) | ((cells[p % n] >> b) & 1)
+    return out.to_bytes(2 * n, "big")
 
 
 def test_zorder_expr_matches_python_morton(spark):
