@@ -73,7 +73,7 @@ def upsample_by_weight(
     )
 
 
-def _run_length_fold(arr, size_col):
+def _run_length_fold(arr):
     """Max run length and total rows-in-runs>1 over a SORTED string array,
     as ONE F.aggregate fold — struct accumulator (prev, run, maxrun, dupn).
     Returns (maxrun, dupn) columns. The finish lambda folds the last run."""
@@ -146,9 +146,9 @@ def repetition_profile(
         ),
     )).otherwise(F.array().cast("array<string>"))
     d = df.withColumn("_sg", F.array_sort(grams))
-    top_g, dup_g = _run_length_fold(F.col("_sg"), F.size("_sg"))
+    top_g, dup_g = _run_length_fold(F.col("_sg"))
     # max consecutive identical-token run folds the UNSORTED token array
-    max_run, _ = _run_length_fold(toks, F.size(toks))
+    max_run, _ = _run_length_fold(toks)
     lines = F.filter(F.split(F.col(text_col), line_sep), lambda x: x != "")
     dlines = F.array_distinct(lines)
     line_chars = F.length(F.concat_ws("", lines))

@@ -81,6 +81,19 @@ _TYPES: dict[str, T.DataType] = {
 }
 _WIDENS = {("int", "long"), ("float", "double"), ("int", "decimal"), ("long", "decimal")}
 
+#: Spark's `simpleString()` spells LongType "bigint" while this module's
+#: canonical name (the one _TYPES/_WIDENS/_stat_codec key on) is "long" —
+#: every path that RECORDS a type name (create, apply_ddl) canonicalizes
+#: through here, so schema JSON always holds canonical names and a
+#: LongType column gets the same stats/pruning/z-order treatment as a
+#: DDL-added "long". (Without this, create()-time LongType columns
+#: recorded "bigint", which _spark_type rejected on first read.)
+_TYPE_ALIASES = {"bigint": "long", "integer": "int", "bool": "boolean"}
+
+
+def _canon_type(name: str) -> str:
+    return _TYPE_ALIASES.get(name, name)
+
 _DECIMAL_RE = __import__("re").compile(r"decimal\((\d+),(\d+)\)")
 
 
@@ -128,6 +141,7 @@ def _stat_codec(type_name: str):
     until that bookkeeping exists here, float columns residual-filter but
     never prune. Binary/array stats aren't comparable. Unsupported columns
     simply never prune — correctness never depends on stats."""
+    type_name = _canon_type(type_name)
     if type_name in ("int", "long"):
         return int
     if type_name == "string":
@@ -284,6 +298,7 @@ class CursorExpiredError(RuntimeError):
 
 
 def _spark_type(name: str) -> T.DataType:
+    name = _canon_type(name)
     d = _decimal_params(name)
     if d:
         return T.DecimalType(d[0], d[1])
@@ -1063,7 +1078,7 @@ class LakehouseTable:
             if not cluster_by or len(cluster_by) < 2:
                 raise ValueError("cluster_order='zorder' needs >= 2 cluster_by columns "
                                  "(a single-column z-order IS the linear sort)")
-            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            types = {f.name: _canon_type(f.dataType.simpleString()) for f in schema.fields}
             bad = [c for c in cluster_by if types.get(c) not in _ZORDER_TYPES]
             if bad:
                 raise ValueError(
@@ -1079,7 +1094,7 @@ class LakehouseTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         fields = [
-            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(), "former_names": []}
+            {"id": i + 1, "name": f.name, "type": _canon_type(f.dataType.simpleString()), "former_names": []}
             for i, f in enumerate(schema.fields)
         ]
         self._write_json(
@@ -2736,7 +2751,7 @@ class LakehouseTable:
                 nf = {
                     "id": last_column_id,
                     "name": d["name"],
-                    "type": d["type"],
+                    "type": _canon_type(d["type"]),
                     "former_names": [],
                 }
                 fields.append(nf)
@@ -2752,11 +2767,12 @@ class LakehouseTable:
                 by_name[d["new"]] = f
             elif action == "widen_type":
                 f = by_name[d["name"]]
-                if f["type"] == d["to"]:
+                to = _canon_type(d["to"])
+                if f["type"] == to:
                     continue  # already widened (replay)
-                if not _is_legal_widen(f["type"], d["to"]):
-                    raise ValueError(f"illegal widen {f['type']} -> {d['to']}")
-                f["type"] = d["to"]
+                if not _is_legal_widen(f["type"], to):
+                    raise ValueError(f"illegal widen {f['type']} -> {to}")
+                f["type"] = to
             elif action == "drop_column":
                 f = by_name.pop(d["name"], None)
                 if f is None:
@@ -3215,15 +3231,16 @@ class LakehouseTable:
         keys = self._touched_key_df(spark, from_snapshot_id, to_id)
         conv_ids = None
         if keys is not None:
-            # bounded regime probe (limit early-exits at the cap; only a
-            # number ships to the driver), then the point path collects its
-            # ≤ threshold conv_ids for manifest-level file skipping (keys
-            # recomputes per action — it reads only the window's delta
-            # files, deliberately not cached into executor memory)
+            # ONE bounded probe-collect decides the regime AND yields the
+            # point path's id list (limit early-exits the distinct at the
+            # cap; ≤ threshold+1 thin strings ship to the driver — same
+            # pattern as corpus_view.touched_documents, never a count
+            # followed by a second collect re-reading the window's deltas)
             convs = keys.select("conv_id").distinct()
             probe = min(high_churn_threshold + 1, 2**31 - 1)
-            if convs.limit(probe).count() <= high_churn_threshold:
-                conv_ids = [r["conv_id"] for r in convs.collect()]
+            probed = convs.limit(probe).collect()
+            if len(probed) <= high_churn_threshold:
+                conv_ids = [r["conv_id"] for r in probed]
         before = self._project_to_schema(
             self.read(spark, from_snapshot_id, conv_ids=conv_ids),
             from_snap["schema_id"], to_snap["schema_id"],

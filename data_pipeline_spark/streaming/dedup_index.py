@@ -175,6 +175,13 @@ class DedupIndexJob:
     def create_index_tables(
         index_dir: str, n_hashes: int = 8, n_buckets: int = 64, **create_kw
     ) -> None:
+        # cluster_by=['conv_id'] by default: the refresh/lookup point paths
+        # live on read(conv_ids=...) point reads, and only a conv_id-leading
+        # cluster key records the manifest key ranges that let those reads
+        # skip files WITHIN a bucket — without it every point read scans
+        # each hit bucket's whole base layer and the per-refresh cost grows
+        # with bucket size instead of churn.
+        create_kw.setdefault("cluster_by", ["conv_id"])
         LakehouseTable(os.path.join(index_dir, "signatures")).create(
             _sig_schema(n_hashes), n_buckets=n_buckets, **create_kw
         )
@@ -551,9 +558,14 @@ class DedupIndexJob:
                 r["key"]
                 for r in self._bands_of(my_sig).select("key").distinct().collect()
             ]
+            # persist: one bands point-read, not three — `rows` feeds the
+            # partner collect below, the hits lineage, AND the returned
+            # frame's plan (same reasoning as _refresh_point's members
+            # persist; without it each consumer re-executes the pruned-file
+            # reads)
             rows = self._read_keys(spark, self.bands, keys).select(
                 F.from_json("members", _MEMBERS_T).alias("ms")
-            )
+            ).persist()
             # ids is driver-bounded here (≤ lookup_point_threshold): a
             # literal array keeps the anchor extraction row-local
             lit_ids = F.array(*[F.lit(c) for c in ids])
@@ -593,6 +605,12 @@ class DedupIndexJob:
                 for r in rows.select(F.explode("ms").alias("m")).distinct().collect()
             ]
             part_sig = self._read_keys(spark, self.sig, sorted(set(partners) | set(ids)))
+            # the pair set is O(|ids| × bucket) by construction: materialize
+            # it off the cached point-read (localCheckpoint truncates the
+            # lineage) so the cache can be released before returning the
+            # lazy result frame
+            touched = touched.localCheckpoint(eager=True)
+            rows.unpersist()
         else:
             part_sig = self.sig.read(spark, snapshot_id=self._pinned("signatures"))
         return self._est_pairs(touched, part_sig)

@@ -195,11 +195,25 @@ class WapIngestJob:
         )
         if not report.get("ok"):
             if pre_batch_id is not None:
-                # with txn alignment on, the discarded batch's open-tail
-                # spill must roll back WITH the branch (spill first — see
-                # TxnAligner.discard for the crash-window argument)
-                if batch_id is not None and self.job.aligner is not None:
-                    self.job.aligner.discard(batch_id)
+                # with txn alignment on, the discarded batches' open-tail
+                # spills must roll back WITH the branch (spill first — see
+                # TxnAligner.discard for the crash-window argument). The
+                # first discarded batch is derived from the reset target's
+                # own last_batch_id, NOT the batch_id kwarg: a caller
+                # driving staging manually may pass pre_batch_id alone, and
+                # the reset discards EVERY batch staged after that snapshot
+                # — their spills must all go, or a discarded batch's open
+                # tail is prepended to the next batch and the rejected
+                # events reach a later published commit.
+                if self.job.aligner is not None:
+                    pre_last = self.branch.snapshot_by_id(pre_batch_id).get(
+                        "last_batch_id"
+                    )
+                    first_discarded = (
+                        pre_last + 1 if pre_last is not None else batch_id
+                    )
+                    if first_discarded is not None:
+                        self.job.aligner.discard(first_discarded)
                 self.branch.reset_branch(pre_batch_id)
             self.job._alert({
                 "kind": "audit_failed", "batch_id": batch_id,
