@@ -3638,3 +3638,141 @@ class LakehouseTable:
         return {"kept": sorted(keep_ids), "removed_snapshots": removed_snaps,
                 "removed_files": removed_files, "removed_manifests": removed_manifests,
                 "orphans_in_grace": skipped_in_grace}
+
+    def purge_keys(
+        self,
+        spark: SparkSession,
+        conv_ids: list[str],
+        *,
+        force_drop_tags: bool = False,
+        orphan_grace_seconds: float = 0.0,
+        verify: bool = True,
+    ) -> dict:
+        """Compliance purge (right-to-be-forgotten / poisoned-data removal):
+        PHYSICALLY remove every row of the given conversations from the
+        table AND all retained history, then prove it.
+
+        A tombstone merge only removes rows from the CURRENT snapshot —
+        the text keeps living in older snapshots' base/delta files until
+        retention expires them, and a tag can pin them forever. This is
+        the composition Iceberg documents for GDPR deletes (DELETE +
+        expire_snapshots + remove_orphan_files), run as one audited step:
+
+          1. logical delete — one tombstone changeset for the keys' live
+             rows, LSN above both the watermark and every purged row's LSN
+             (the delete must win any LWW fold);
+          2. compact — folds the tombstones, so no CURRENT file holds the
+             rows;
+          3. expire_snapshots(keep_last=1) + orphan cleanup — every
+             pre-purge snapshot (whose files still hold the rows) is
+             dropped; time travel and changelog history collapse to the
+             purge point, BY DESIGN: retained history IS retained data;
+          4. verify — a distributed scan of EVERY parquet file still on
+             disk under the table (all layers, one thin conv_id column)
+             asserting zero residual rows. Stats never decide truth here
+             either: the verify reads the files, not the manifests.
+
+        Refuses (compliance-soundly) when: called on a branch handle, any
+        branch exists (a staged head may hold the keys where a main-side
+        rewrite can't reach — publish or drop branches first), a spec
+        migration is in flight (tombstones can't safely fold, same rule as
+        compact), or tags exist without force_drop_tags=True (a tag pins
+        pre-purge state; dropping it is a policy decision the caller must
+        make explicitly).
+
+        Downstream contract: changelog cursors below the purge point raise
+        CursorExpiredError on their next poll and re-bootstrap from the
+        purged table (the documented retention behavior) — either way a
+        consumer converges to a state without the purged docs. Corpus
+        exports already written are separate artifacts: re-export
+        (snapshot_corpus) against the post-purge snapshot.
+
+        orphan_grace_seconds: forwarded to the expiry sweep — 0.0 (default)
+        for a quiesced maintenance window, the compliance-fastest path; set
+        a grace when ingest runs concurrently (see expire_snapshots) and
+        re-run purge_keys after it elapses to sweep the remainder."""
+        if not conv_ids:
+            raise ValueError("purge_keys needs at least one conv_id")
+        if self.ref is not None:
+            raise ValueError("purge from the main table handle, not a branch")
+        branches = self._branch_hints()
+        if branches:
+            raise ValueError(
+                f"live branches {sorted(branches)} may stage the purged keys "
+                "out of reach of a main-side rewrite — fast_forward or "
+                "drop_branch them first"
+            )
+        snap = self.current_snapshot()
+        if self._mixed_spec(snap):
+            raise ValueError(
+                "spec migration in flight — finish migrate_spec first "
+                "(tombstones cannot safely fold across mixed specs)"
+            )
+        refs = self._refs()
+        if refs and not force_drop_tags:
+            raise ValueError(
+                f"tags {sorted(refs)} pin pre-purge snapshots; pass "
+                "force_drop_tags=True to drop them as part of the purge"
+            )
+        dropped_tags = sorted(refs)
+        for name in dropped_tags:
+            self.remove_tag(name)
+
+        ids = sorted(set(conv_ids))
+        live = self.read(spark, conv_ids=ids, with_lsn=True).persist()
+        agg = live.agg(
+            F.count(F.lit(1)).alias("n"), F.max(LSN_COL).alias("mx")
+        ).first()
+        n_live, max_lsn = int(agg["n"]), agg["mx"] or 0
+        if n_live:
+            lsn_del = max(snap.get("watermark_lsn") or 0, int(max_lsn)) + 1
+            payload = [
+                f for f in self.schema_struct(snap).fields
+                if f.name not in MERGE_KEY
+            ]
+            changes = live.select(
+                *MERGE_KEY,
+                F.lit(lsn_del).cast("long").alias("lsn"),
+                F.lit("D").alias("op"),
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+            )
+            self.merge(spark, snap["last_batch_id"] + 1, changes)
+        live.unpersist()
+        self.compact(spark)
+        exp = self.expire_snapshots(
+            keep_last=1, orphan_grace_seconds=orphan_grace_seconds
+        )
+
+        report = {
+            "purged_conv_ids": len(ids),
+            "rows_deleted": n_live,
+            "dropped_tags": dropped_tags,
+            "removed_snapshots": exp["removed_snapshots"],
+            "removed_files": exp["removed_files"],
+            "orphans_in_grace": exp["orphans_in_grace"],
+        }
+        if verify:
+            data_dir = os.path.join(self.path, "data")
+            files = [
+                os.path.join(root, f)
+                for root, _d, fs in os.walk(data_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            residual = 0
+            if files:
+                ids_df = spark.createDataFrame([(c,) for c in ids], "conv_id string")
+                residual = (
+                    spark.read.schema("conv_id string")
+                    .parquet(*files)
+                    .join(F.broadcast(ids_df), "conv_id", "left_semi")
+                    .count()
+                )
+            report["verify"] = {"files_scanned": len(files), "residual_rows": residual}
+            if residual:
+                raise RuntimeError(
+                    f"purge verification FAILED: {residual} residual rows "
+                    f"for purged conv_ids across {len(files)} files "
+                    f"(orphans in grace: {exp['orphans_in_grace']}) — {report}"
+                )
+        return report

@@ -6,6 +6,7 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> history
     python scripts/maintenance.py --table <path> compact [--buckets 3,7,12]
     python scripts/maintenance.py --table <path> expire --keep-last 4
+    python scripts/maintenance.py --table <path> purge --conv-ids conv-000017,conv-000093
     python scripts/maintenance.py --table <path> rebucket --n-buckets 256
     python scripts/maintenance.py --table <path> rollback --snapshot-id 17
     python scripts/maintenance.py --table <path> rewrite-manifests
@@ -52,6 +53,17 @@ def main() -> None:
                              "bounds (OPTIMIZE ZORDER re-run); runs even with "
                              "zero pending deltas")
     rc.add_argument("--buckets", default=None, help="comma-separated bucket ids; default: all")
+    pg = sub.add_parser(
+        "purge",
+        help="compliance purge: physically remove conversations from the "
+             "table AND all retained history, then verify by scanning "
+             "every remaining parquet file",
+    )
+    pg.add_argument("--conv-ids", required=True,
+                    help="comma-separated conv_ids, or @/path/to/file with "
+                         "one conv_id per line")
+    pg.add_argument("--force-drop-tags", action="store_true")
+    pg.add_argument("--orphan-grace-seconds", type=float, default=0.0)
     e = sub.add_parser("expire")
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--older-than-seconds", type=float, default=None,
@@ -221,6 +233,17 @@ def main() -> None:
                 {int(b) for b in args.buckets.split(",")} if args.buckets else None
             )
             out = table.recluster(spark, buckets=buckets)
+        elif args.cmd == "purge":
+            if args.conv_ids.startswith("@"):
+                with open(args.conv_ids[1:]) as f:
+                    ids = [ln.strip() for ln in f if ln.strip()]
+            else:
+                ids = [c for c in args.conv_ids.split(",") if c]
+            out = table.purge_keys(
+                spark, ids,
+                force_drop_tags=args.force_drop_tags,
+                orphan_grace_seconds=args.orphan_grace_seconds,
+            )
         elif args.cmd == "expire":
             out = table.expire_snapshots(
                 keep_last=args.keep_last,
