@@ -293,6 +293,31 @@ class CorpusViewJob:
         return {"applied": True, "batch_id": batch_id, "cursor": cursor,
                 "result": res}
 
+    def resync(self, spark: SparkSession, cursor_path: str) -> dict:
+        """Full reconciliation against the current PUBLISHED upstream — the
+        `CursorExpiredError` recovery (view down past upstream retention,
+        or upstream history collapsed by a compliance `purge_keys`). A
+        fresh cursor alone is NOT enough: `tail_changes` with no cursor
+        starts at the oldest RETAINED snapshot, and rows folded into base
+        files by earlier `expire_snapshots`/purge calls are absent from
+        the retained changelog — a changelog-walk "bootstrap" would
+        silently miss them AND never emit D for conversations the purge
+        removed. The resync refreshes every conversation in view ∪
+        upstream (one distributed union-distinct — `refresh_for`
+        re-derives current images and emits D for those gone upstream;
+        the high-churn semi-join regime makes this O(table) but driver-
+        free), then pins the cursor at the published head."""
+        head = self.upstream.current_snapshot()["snapshot_id"]
+        changed = (
+            self.upstream.read(spark).select("conv_id")
+            .unionByName(self.job.table.read(spark).select("conv_id"))
+            .distinct()
+        )
+        res = self.refresh_for(spark, head, changed)
+        LakehouseTable.commit_cursor(cursor_path, {"snapshot_id": head})
+        return {"applied": True, "batch_id": head, "mode": "resync",
+                "result": res}
+
     def run_until_caught_up(
         self, spark: SparkSession, cursor_path: str, max_polls: int = 1000
     ) -> int:

@@ -191,3 +191,47 @@ def test_purge_expires_downstream_cursors_to_rebootstrap(spark, tmp_path):
     # re-bootstrap: a full read sees no purged docs
     docs = assemble_conversations(tbl.read(spark))
     assert docs.where(F.col("conv_id").isin(purged)).count() == 0
+
+
+@pytest.mark.slow
+def test_purge_cascades_to_corpus_view(spark, tmp_path):
+    """A compliance purge is only complete when DOWNSTREAM engine tables
+    purge too: the corpus view's own retained history keeps the assembled
+    doc text after the upstream purge. The view reuses the
+    (conv_id, turn_idx=0) key, so purge_keys applies to it directly —
+    this pins the full cascade: upstream purge → view converges (expired
+    cursor → re-bootstrap) → view purge → both tables physically clean."""
+    from data_pipeline_spark.streaming.corpus_view import CorpusViewJob
+
+    tbl, job = _mk(spark, tmp_path, "t5")
+    pdf = _feed(1_200, seed=96)
+    _apply(spark, job, pdf, 0)
+
+    view_path = str(tmp_path / "view")
+    CorpusViewJob.create_view_table(view_path, n_buckets=4)
+    view = CorpusViewJob(tbl.path, view_path, str(tmp_path / "vctl"))
+    cursor = str(tmp_path / "vcursor.json")
+    view.run_until_caught_up(spark, cursor)
+
+    purged = sorted(reduce_feed(pdf)["conv_id"].unique())[:3]
+    assert set(purged) & _raw_conv_ids_on_disk(view_path)
+
+    tbl.purge_keys(spark, purged)
+
+    # the view's cursor predates the purge point → expired → resync (a
+    # fresh cursor would NOT do: the retained changelog starts above the
+    # purge fold and never emits D for the purged conversations)
+    with pytest.raises(CursorExpiredError):
+        view.poll_once(spark, cursor)
+    out = view.resync(spark, cursor)
+    assert out["mode"] == "resync"
+    vt = LakehouseTable(view_path)
+    assert vt.read(spark).where(F.col("conv_id").isin(purged)).count() == 0
+    # and the resync'd cursor tails normally again
+    assert view.poll_once(spark, cursor)["applied"] is False
+
+    # ...but the view's HISTORY still holds the text until it purges too
+    assert set(purged) & _raw_conv_ids_on_disk(view_path)
+    report = vt.purge_keys(spark, purged)
+    assert report["verify"]["residual_rows"] == 0
+    assert not (set(purged) & _raw_conv_ids_on_disk(view_path))

@@ -194,12 +194,12 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
             )
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303])
+@pytest.mark.parametrize("seed", [101, 202])
 def test_random_op_sequence(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", list(range(400, 410)))
+@pytest.mark.parametrize("seed", [303, *range(400, 410)])
 def test_random_op_sequence_sweep(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed)
