@@ -1,0 +1,458 @@
+"""Debezium envelope adapter: the de-facto public CDC wire format → the
+engine's canonical change-event envelope.
+
+The reference consumes Oracle LogMiner / MSSQL CDC directly (reference:
+data_pipeline/extractor/oracle_cdc_extractor.py, mssql_cdc_extractor.py —
+repo-relative public paths, SURVEY.md §0); modern deployments of those same
+sources overwhelmingly arrive as Debezium JSON on Kafka instead
+(https://debezium.io/documentation/reference/stable/connectors/ — public
+format). This module lets every downstream piece of the engine (decode,
+LWW merge, DDL replication, txn alignment, multi-table routing) consume a
+Debezium topic unchanged by normalising the envelope up front:
+
+    op  "c" (create) / "r" (snapshot read)  → I
+        "u" (update)                         → U
+        "d" (delete)                         → D
+    payload  = the `after` row image's raw JSON text (null for D)
+    keys     = extracted from `after` (falling back to `before` for D —
+               REPLICA IDENTITY DEFAULT deletes carry only the key)
+    lsn      = first non-null of the connector-specific source offsets
+               (postgres `source.lsn`, oracle `source.scn`,
+               mysql `source.pos`, generic `source.sequence`)
+    ts       = `source.ts_ms` (event time at the source, epoch millis)
+    txn_id   = `transaction.id` (Debezium transaction metadata topic
+               ordinal) falling back to postgres `source.txId`
+    DDL      = schema-change-topic records (`{... "ddl": "ALTER TABLE ..."}`)
+               translated from SQL text into the engine's DDL descriptors
+
+Both the bare envelope and the `schemas.enable`-wrapped form
+(`{"schema": ..., "payload": {envelope}}`) are accepted — every JSON path
+is tried under `$.payload` first, then at the root. Kafka tombstones
+(null value after a delete, used for log compaction) are dropped.
+
+Everything on the DML path is pure Catalyst (`get_json_object` +
+built-ins) — zero Python. The DDL path (vanishingly rare rows by
+construction) routes through one Arrow-vectorized pandas UDF that parses
+the SQL statement; the two branches are separate pushed-down filters over
+the source, unioned, so DML rows never pay the UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from data_pipeline_spark.schemas import CHANGE_EVENT_SCHEMA, TXN_EVENT_SCHEMA
+
+# ---------------------------------------------------------------------------
+# SQL type → Spark simpleString (the engine's DDL descriptor type vocabulary).
+# Covers the postgres / mysql / oracle names Debezium emits in DDL text.
+# ---------------------------------------------------------------------------
+_SQL_TYPE_MAP = {
+    "int": "int",
+    "integer": "int",
+    "int4": "int",
+    "smallint": "int",
+    "int2": "int",
+    "mediumint": "int",
+    "bigint": "long",
+    "int8": "long",
+    "long": "long",
+    "number": "long",  # oracle NUMBER without scale — widest integral
+    "text": "string",
+    "varchar": "string",
+    "varchar2": "string",
+    "char": "string",
+    "character": "string",
+    "clob": "string",
+    "string": "string",
+    "json": "string",
+    "jsonb": "string",
+    "float": "float",
+    "real": "float",
+    "float4": "float",
+    "double": "double",
+    "float8": "double",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "datetime": "timestamp",
+    "binary": "binary",
+    "bytea": "binary",
+    "blob": "binary",
+}
+
+# "character varying(255)" / "double precision" two-word forms normalise first
+_TWO_WORD_TYPES = {
+    "character varying": "varchar",
+    "double precision": "double",
+    "timestamp with time zone": "timestamptz",
+    "timestamp without time zone": "timestamp",
+}
+
+
+def _map_sql_type(sql_type: str) -> str:
+    """'varchar(255)' → 'string', 'numeric(10,2)' → 'decimal(10,2)', ..."""
+    t = sql_type.strip().lower()
+    for two, one in _TWO_WORD_TYPES.items():
+        if t.startswith(two):
+            t = one + t[len(two):]
+            break
+    m = re.match(r"^([a-z0-9_ ]+?)\s*(\(([^)]*)\))?$", t)
+    if not m:
+        return "string"
+    base, args = m.group(1).strip(), m.group(3)
+    if base in ("numeric", "decimal", "dec"):
+        if args:
+            parts = [p.strip() for p in args.split(",")]
+            p = parts[0] or "10"
+            s = parts[1] if len(parts) > 1 else "0"
+            return f"decimal({p},{s})"
+        return "decimal(10,0)"
+    if base == "number" and args:
+        parts = [p.strip() for p in args.split(",")]
+        if len(parts) > 1 and parts[1] not in ("0", ""):
+            return f"decimal({parts[0]},{parts[1]})"
+        return "long"
+    return _SQL_TYPE_MAP.get(base, "string")
+
+
+# DDL statement patterns (case-insensitive; optional schema-qualified,
+# optionally quoted table identifiers). Debezium's schema-change topic
+# carries the source statement verbatim.
+_IDENT = r'(?:"[^"]+"|`[^`]+`|[\w$]+)(?:\.(?:"[^"]+"|`[^`]+`|[\w$]+))*'
+_RE_ADD = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+{_IDENT}\s+ADD\s+(?:COLUMN\s+)?"
+    r'["`]?(\w+)["`]?\s+([\w ]+(?:\([^)]*\))?)\s*;?\s*$'
+)
+_RE_RENAME = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+{_IDENT}\s+RENAME\s+(?:COLUMN\s+)?"
+    r'["`]?(\w+)["`]?\s+TO\s+["`]?(\w+)["`]?\s*;?\s*$'
+)
+_RE_ALTER_TYPE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+{_IDENT}\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?"
+    r'["`]?(\w+)["`]?\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([\w ]+(?:\([^)]*\))?)\s*;?\s*$'
+)
+_RE_DROP = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+(?:COLUMN\s+)?"
+    r'["`]?(\w+)["`]?\s*;?\s*$'
+)
+_RE_CREATE = re.compile(
+    rf"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*;?\s*$"
+)
+
+
+def _split_columns(body: str) -> list[str]:
+    """Split a CREATE TABLE column list on top-level commas only (commas
+    inside type parens — decimal(10,2) — don't split)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_CONSTRAINT_WORDS = ("primary ", "foreign ", "unique", "constraint", "check", "key ")
+
+
+def translate_ddl_sql(sql: str) -> dict | None:
+    """One SQL DDL statement → the engine's DDL descriptor dict
+    (plans/table_format.py apply_ddl vocabulary), or None if the statement
+    is not one the engine replicates (indexes, grants, truncates, ...)."""
+    if not sql:
+        return None
+    m = _RE_RENAME.match(sql)
+    if m:
+        return {"action": "rename_column", "old": m.group(1), "new": m.group(2)}
+    m = _RE_ALTER_TYPE.match(sql)
+    if m:
+        return {"action": "widen_type", "name": m.group(1), "to": _map_sql_type(m.group(2))}
+    m = _RE_DROP.match(sql)
+    if m:
+        return {"action": "drop_column", "name": m.group(1)}
+    m = _RE_ADD.match(sql)
+    if m:
+        return {"action": "add_column", "name": m.group(1), "type": _map_sql_type(m.group(2))}
+    m = _RE_CREATE.match(sql)
+    if m:
+        cols = []
+        for coldef in _split_columns(m.group(2)):
+            low = coldef.lower()
+            if any(low.startswith(w) for w in _CONSTRAINT_WORDS):
+                continue  # table-level constraint, not a column
+            cm = re.match(r'^["`]?(\w+)["`]?\s+([\w ]+(?:\([^)]*\))?)', coldef)
+            if cm:
+                cols.append(f"{cm.group(1)} {_map_sql_type(cm.group(2))}")
+        if not cols:
+            return None
+        return {"action": "create_table", "schema": ", ".join(cols)}
+    return None
+
+
+# ---------------------------------------------------------------------------
+# The adapter
+# ---------------------------------------------------------------------------
+
+# connector-specific total-order offsets, tried in order (first non-null):
+# postgres WAL LSN, oracle SCN, mysql binlog position, generic sequence.
+_LSN_PATHS = ("$.source.lsn", "$.source.scn", "$.source.pos", "$.source.sequence")
+
+
+def _g(v, path: str):
+    """Extract `path` trying the schemas.enable-wrapped form first.
+    get_json_object returns null for a missing path, so coalesce is exact."""
+    return F.coalesce(
+        F.get_json_object(v, "$.payload" + path[1:]), F.get_json_object(v, path)
+    )
+
+
+@pandas_udf(T.StringType())
+def _translate_ddl_udf(sql: pd.Series) -> pd.Series:
+    """Arrow-batched SQL→descriptor translation for the (rare) DDL rows;
+    non-replicable statements map to null and are filtered out."""
+    return sql.map(lambda s: (lambda d: json.dumps(d) if d else None)(translate_ddl_sql(s)))
+
+
+def debezium_to_envelope(
+    raw: DataFrame,
+    value_col: str = "value",
+    with_txns: bool = False,
+    with_table_name: bool = False,
+) -> DataFrame:
+    """Debezium JSON records → CHANGE_EVENT_SCHEMA (/ TXN / MULTI variants).
+
+    `raw` needs one string column (`value_col`) holding the Debezium record
+    value — the shape every Kafka reader produces (sources/kafka.py casts
+    `value` binary → string the same way). Extra columns are ignored.
+    Tombstones (null value) and non-replicable DDL are dropped.
+
+    with_txns adds `txn_id` (TXN_EVENT_SCHEMA) from the transaction
+    metadata block / postgres txId — feeds without it carry null, which the
+    TxnAligner passes through unaligned, same contract as the native feed.
+    with_table_name prepends `table_name` from `source.table` for the
+    multi-table router (MULTI_EVENT_SCHEMA column order).
+    """
+    v = F.col(value_col).cast("string")
+    op_raw = _g(v, "$.op")
+    ddl_sql = _g(v, "$.ddl")
+
+    after = _g(v, "$.after")
+    before = _g(v, "$.before")
+    image = F.coalesce(after, before)
+    lsn = F.coalesce(*[_g(v, p) for p in _LSN_PATHS]).cast("long")
+    ts = F.timestamp_millis(
+        F.coalesce(_g(v, "$.source.ts_ms"), _g(v, "$.ts_ms")).cast("long")
+    )
+
+    def common(payload_col, conv, turn, op_col):
+        cols = [
+            lsn.alias("lsn"),
+            op_col.alias("op"),
+            ts.alias("ts"),
+            conv.alias("conv_id"),
+            turn.cast("int").alias("turn_idx"),
+            payload_col.alias("payload"),
+        ]
+        if with_txns:
+            txn = F.coalesce(
+                _g(v, "$.transaction.id"), _g(v, "$.source.txId")
+            ).cast("long")
+            cols.append(txn.alias("txn_id"))
+        if with_table_name:
+            cols.insert(0, _g(v, "$.source.table").alias("table_name"))
+        return cols
+
+    # DML branch: pure Catalyst. Filter pushes to the scan; tombstones
+    # (null value) fail op_raw.isNotNull() and drop here.
+    dml = raw.where(v.isNotNull() & op_raw.isNotNull()).select(
+        *common(
+            F.when(op_raw == "d", F.lit(None).cast("string")).otherwise(after),
+            F.get_json_object(image, "$.conv_id"),
+            F.get_json_object(image, "$.turn_idx"),
+            F.when(op_raw.isin("c", "r"), F.lit("I"))
+            .when(op_raw == "u", F.lit("U"))
+            .when(op_raw == "d", F.lit("D")),
+        )
+    ).where(F.col("op").isNotNull())
+
+    # DDL branch: schema-change-topic records. The pandas UDF only ever
+    # sees rows of this filter — DML never pays the Python crossing.
+    ddl = raw.where(v.isNotNull() & op_raw.isNull() & ddl_sql.isNotNull()).select(
+        *common(
+            _translate_ddl_udf(ddl_sql),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("int"),
+            F.lit("DDL"),
+        )
+    ).where(F.col("payload").isNotNull())
+
+    return dml.unionByName(ddl)
+
+
+# ---------------------------------------------------------------------------
+# Readers: drop-in equivalents of sources/feed.read_feed_batch/stream over a
+# directory of Debezium-valued chunk files (the Kafka stand-in, same pattern
+# as the native feed — production swap is `format("kafka")` + this adapter).
+# ---------------------------------------------------------------------------
+_RAW_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
+
+
+def read_debezium_batch(spark, feed_dir: str, with_txns: bool = False) -> DataFrame:
+    raw = spark.read.schema(_RAW_SCHEMA).parquet(feed_dir)
+    return debezium_to_envelope(raw, with_txns=with_txns)
+
+
+def read_debezium_stream(
+    spark, feed_dir: str, max_files_per_trigger: int = 8, with_txns: bool = False
+) -> DataFrame:
+    """Streaming reader with the read_feed_stream signature, so IngestJob
+    can take it as a `reader=` plug-in. Self-union of the one file source
+    is supported by Structured Streaming; offsets live in the checkpoint."""
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+    return debezium_to_envelope(raw, with_txns=with_txns)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Debezium-format feed writer (test/bench fixture): re-encodes
+# the canonical generator's events as Debezium JSON, so the adapter's e2e
+# can assert byte-for-byte final-table equality against the native path.
+# ---------------------------------------------------------------------------
+
+# inverse of _map_sql_type for the descriptor→SQL direction (feed writer)
+_SPARK_TO_SQL = {"int": "integer", "long": "bigint", "string": "text",
+                 "double": "double precision", "float": "real",
+                 "timestamp": "timestamp", "boolean": "boolean", "date": "date"}
+
+
+def _ddl_to_sql(descriptor: dict, table: str = "transcripts") -> str:
+    a = descriptor["action"]
+    if a == "add_column":
+        return (f"ALTER TABLE {table} ADD COLUMN {descriptor['name']} "
+                f"{_SPARK_TO_SQL.get(descriptor['type'], descriptor['type'])}")
+    if a == "rename_column":
+        return f"ALTER TABLE {table} RENAME COLUMN {descriptor['old']} TO {descriptor['new']}"
+    if a == "widen_type":
+        return (f"ALTER TABLE {table} ALTER COLUMN {descriptor['name']} TYPE "
+                f"{_SPARK_TO_SQL.get(descriptor['to'], descriptor['to'])}")
+    if a == "drop_column":
+        return f"ALTER TABLE {table} DROP COLUMN {descriptor['name']}"
+    raise ValueError(f"no SQL form for {a}")
+
+
+def encode_debezium_pandas(
+    df: pd.DataFrame,
+    connector: str = "postgresql",
+    table: str = "transcripts",
+    wrapped: bool = False,
+    snapshot_rows: int = 0,
+    tombstones: bool = False,
+) -> pd.DataFrame:
+    """Canonical feed rows (generate_feed_pandas output) → one-column
+    pandas frame of Debezium JSON values, vectorized string assembly (the
+    generator's payloads are quote-free by construction, so JSON text can
+    be concatenated directly — same invariant the generator itself relies
+    on). The first `snapshot_rows` INSERTs become op "r" (snapshot reads);
+    tombstones=True appends a null value after every delete (Kafka log
+    compaction convention) which the adapter must drop."""
+    n = len(df)
+    op = df["op"].to_numpy()
+    is_ddl = op == "DDL"
+    is_d = op == "D"
+    lsn = df["lsn"].astype(str)
+    ts_ms = (df["ts"].astype("int64") // 1_000_000).astype(str)
+
+    dbz_op = pd.Series(pd.NA, index=df.index, dtype="object")
+    dbz_op[op == "I"] = "c"
+    dbz_op[op == "U"] = "u"
+    dbz_op[is_d] = "d"
+    if snapshot_rows:
+        first_i = df.index[(op == "I")][:snapshot_rows]
+        dbz_op.loc[first_i] = "r"
+
+    key_json = (
+        '{"conv_id":"' + df["conv_id"].astype(str) + '","turn_idx":'
+        + df["turn_idx"].astype("Int64").astype(str) + "}"
+    )
+    # after = key fields + the canonical payload's members (payload is
+    # "{...}" with ≥1 member for every I/U by generator invariant)
+    after = key_json.str[:-1] + "," + df["payload"].astype(str).str[1:]
+
+    src = (
+        '"source":{"version":"2.5","connector":"' + connector + '","name":"src1",'
+        + '"ts_ms":' + ts_ms + ',"db":"app","schema":"public","table":"' + table + '",'
+        + '"lsn":' + lsn + "}"
+    )
+    txn = ""
+    if "txn_id" in df.columns:
+        txn_sr = ',"transaction":{"id":"' + df["txn_id"].astype(str) + '","total_order":1}'
+        txn = txn_sr.where(df["txn_id"].notna(), "")
+
+    value = pd.Series(pd.NA, index=df.index, dtype="object")
+    dml = ~is_ddl
+    value[dml] = (
+        '{"before":' + key_json[dml].where(is_d[dml], "null")
+        + ',"after":' + after[dml].where(~is_d[dml], "null")
+        + "," + src[dml] + ',"op":"' + dbz_op[dml] + '","ts_ms":' + ts_ms[dml]
+        + (txn[dml] if isinstance(txn, pd.Series) else "") + "}"
+    )
+    if is_ddl.any():
+        ddl_sql = df.loc[is_ddl, "payload"].map(
+            lambda p: _ddl_to_sql(json.loads(p), table)
+        )
+        value[is_ddl] = (
+            "{" + src[is_ddl] + ',"ts_ms":' + ts_ms[is_ddl]
+            + ',"databaseName":"app","ddl":"' + ddl_sql + '","tableChanges":[]}'
+        )
+    if wrapped:
+        value = '{"schema":{"type":"struct"},"payload":' + value + "}"
+
+    out = pd.DataFrame({"value": value})
+    if tombstones:
+        tomb = pd.DataFrame(
+            {"value": pd.Series([None] * int(is_d.sum()), dtype="object")},
+            index=df.index[is_d] + 0.5,  # interleave right after each delete
+        )
+        out = pd.concat([out, tomb]).sort_index().reset_index(drop=True)
+    return out
+
+
+def write_debezium_feed(
+    out_dir: str,
+    spec,
+    chunk_size: int | None = None,
+    **encode_kw,
+) -> list[str]:
+    """Generate spec's canonical feed and write it as Debezium-valued
+    parquet chunks (ordered log segments, same layout as generate_feed)."""
+    from data_pipeline_spark.sources.feed import generate_feed_pandas
+
+    os.makedirs(out_dir, exist_ok=True)
+    values = encode_debezium_pandas(generate_feed_pandas(spec), **encode_kw)
+    chunk = chunk_size or spec.chunk_size
+    paths = []
+    for c in range(0, len(values), chunk):
+        p = os.path.join(out_dir, f"chunk-{c // chunk:06d}.parquet")
+        values.iloc[c : c + chunk].to_parquet(p, index=False)
+        paths.append(p)
+    return paths

@@ -68,6 +68,12 @@ class IngestJob:
         # (data_pipeline/applier commitpoint, SURVEY.md §2 T6). Requires the
         # feed's txn envelope (TXN_EVENT_SCHEMA); feeds without txn_id pass
         # through unaligned.
+        stream_reader=None,  # plug-in feed reader with the read_feed_stream
+        # signature (spark, feed_dir, max_files_per_trigger, with_txns) —
+        # e.g. sources/debezium.read_debezium_stream adapts a Debezium topic
+        # directory. Custom readers force the exact DDL path: the pyarrow
+        # fast-probe assumes the chunk files hold CHANGE_EVENT columns.
+        batch_reader=None,  # replay_batch counterpart (read_feed_batch shape)
     ):
         assert on_error in ("abort", "quarantine")
         self.table = LakehouseTable(table_path, ref=ref)
@@ -89,6 +95,10 @@ class IngestJob:
             ddl_fast_scan = False
         else:
             self.aligner = None
+        self.stream_reader = stream_reader or read_feed_stream
+        self.batch_reader = batch_reader or read_feed_batch
+        if stream_reader is not None or batch_reader is not None:
+            ddl_fast_scan = False
         self.ddl_fast_scan = ddl_fast_scan
         self._checkpoint_dir: str | None = None
         os.makedirs(control_path, exist_ok=True)
@@ -461,7 +471,7 @@ class IngestJob:
             applied["n"] += 1
 
         self._checkpoint_dir = checkpoint_dir
-        stream = read_feed_stream(
+        stream = self.stream_reader(
             spark, feed_dir, max_files_per_trigger, with_txns=self.txn_aligned
         )
         writer = (
@@ -527,7 +537,7 @@ class IngestJob:
         txn-aligned job still defers the feed's final transaction during the
         apply (align can't know the batch is the whole feed), so the replay
         flushes it immediately after — one extra tiny merge."""
-        raw = read_feed_batch(spark, feed_dir, with_txns=self.txn_aligned)
+        raw = self.batch_reader(spark, feed_dir, with_txns=self.txn_aligned)
         result = self.apply_batch(spark, batch_id, raw)
         if self.txn_aligned:
             self.flush_pending(spark)

@@ -19,6 +19,7 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> reset-branch --name audit --snapshot-id 17
     python scripts/maintenance.py --table <path> drop-branch --name audit
     python scripts/maintenance.py --table <path> cherry-pick --snapshot-id 17
+    python scripts/maintenance.py --table <path> fsck [--deep]
     python scripts/maintenance.py --table <path> corpus-export --out /corpora/v1 --tag corpus-v1
     python scripts/maintenance.py --table <path> corpus-delta --out /corpora/deltas --cursor /corpora/cursor.json
     python scripts/maintenance.py --table <path> --ref audit status
@@ -143,11 +144,23 @@ def main() -> None:
     db.add_argument("--name", required=True)
     cp = sub.add_parser("cherry-pick")
     cp.add_argument("--snapshot-id", type=int, required=True)
+    fs = sub.add_parser("fsck", help="metadata/data consistency check "
+                        "(refs, snapshots, manifests, files, orphans); "
+                        "--deep cross-checks manifest stats vs footers")
+    fs.add_argument("--deep", action="store_true")
+    fs.add_argument("--orphan-grace-s", type=float, default=3600.0)
     args = ap.parse_args()
 
     from data_pipeline_spark.plans.table_format import LakehouseTable
 
     table = LakehouseTable(args.table, ref=args.ref)
+
+    if args.cmd == "fsck":
+        from data_pipeline_spark.plans.fsck import fsck
+
+        report = fsck(table, deep=args.deep, orphan_grace_s=args.orphan_grace_s)
+        print(json.dumps(report, indent=2, default=str))
+        sys.exit(0 if report["ok"] else 1)
 
     if args.cmd == "status":
         snap = table.current_snapshot()

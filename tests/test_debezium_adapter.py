@@ -1,0 +1,183 @@
+"""Debezium envelope adapter (sources/debezium.py): the public CDC wire
+format → canonical envelope, proven equal to the native feed path end-to-end
+(decode-level equality and final-table byte equality after a full streaming
+replay with DDL)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_pipeline_spark.functions.decode import decode_events
+from data_pipeline_spark.plans.table_format import LakehouseTable
+from data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+from data_pipeline_spark.sources.debezium import (
+    read_debezium_batch,
+    read_debezium_stream,
+    translate_ddl_sql,
+    write_debezium_feed,
+)
+from data_pipeline_spark.sources.feed import (
+    FeedSpec,
+    generate_feed,
+    read_feed_batch,
+)
+from data_pipeline_spark.streaming.ingest import IngestJob
+
+
+# ----------------------------------------------------------------- DDL SQL
+def test_translate_alter_statements():
+    assert translate_ddl_sql("ALTER TABLE transcripts ADD COLUMN tokens integer") == {
+        "action": "add_column", "name": "tokens", "type": "int"
+    }
+    assert translate_ddl_sql('ALTER TABLE "public"."transcripts" ADD tokens bigint;') == {
+        "action": "add_column", "name": "tokens", "type": "long"
+    }
+    assert translate_ddl_sql("alter table app.t rename column tool to tool_name") == {
+        "action": "rename_column", "old": "tool", "new": "tool_name"
+    }
+    assert translate_ddl_sql(
+        "ALTER TABLE t ALTER COLUMN turn_idx SET DATA TYPE bigint"
+    ) == {"action": "widen_type", "name": "turn_idx", "to": "long"}
+    # mysql / oracle MODIFY form
+    assert translate_ddl_sql("ALTER TABLE t MODIFY turn_idx bigint") == {
+        "action": "widen_type", "name": "turn_idx", "to": "long"
+    }
+    assert translate_ddl_sql("ALTER TABLE t DROP COLUMN legacy") == {
+        "action": "drop_column", "name": "legacy"
+    }
+
+
+def test_translate_types():
+    t = lambda ty: translate_ddl_sql(f"ALTER TABLE t ADD COLUMN c {ty}")["type"]
+    assert t("varchar(255)") == "string"
+    assert t("character varying(64)") == "string"
+    assert t("double precision") == "double"
+    assert t("numeric(12,4)") == "decimal(12,4)"
+    assert t("NUMBER(10,2)") == "decimal(10,2)"
+    assert t("NUMBER") == "long"
+    assert t("timestamp with time zone") == "timestamp"
+    assert t("bool") == "boolean"
+
+
+def test_translate_create_table_and_unreplicable():
+    d = translate_ddl_sql(
+        "CREATE TABLE IF NOT EXISTS app.orders ("
+        "order_id bigint, status varchar(16), amount numeric(10,2), "
+        "PRIMARY KEY (order_id))"
+    )
+    assert d == {
+        "action": "create_table",
+        "schema": "order_id long, status string, amount decimal(10,2)",
+    }
+    # statements the engine does not replicate -> None (dropped upstream)
+    assert translate_ddl_sql("CREATE INDEX idx ON t (a)") is None
+    assert translate_ddl_sql("GRANT SELECT ON t TO role") is None
+    assert translate_ddl_sql("TRUNCATE TABLE t") is None
+    assert translate_ddl_sql("") is None
+
+
+# ------------------------------------------------------------- adapter body
+SPEC = FeedSpec(n_events=8_000, n_convs=200, seed=11, chunk_size=2_000)
+
+
+@pytest.fixture(scope="module")
+def feeds(tmp_path_factory):
+    """The same spec written both ways."""
+    native = tmp_path_factory.mktemp("native")
+    dbz = tmp_path_factory.mktemp("dbz")
+    generate_feed(str(native), SPEC)
+    write_debezium_feed(str(dbz), SPEC)
+    return str(native), str(dbz)
+
+
+def _decoded(spark, raw):
+    return (
+        decode_events(raw, TRANSCRIPT_SCHEMA)
+        .orderBy("lsn")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_envelope_columns_match_native(spark, feeds):
+    native_dir, dbz_dir = feeds
+    nat = read_feed_batch(spark, native_dir).orderBy("lsn").toPandas()
+    dbz = read_debezium_batch(spark, dbz_dir).orderBy("lsn").toPandas()
+    for c in ("lsn", "op", "ts", "conv_id", "turn_idx"):
+        pd.testing.assert_series_equal(nat[c], dbz[c], check_dtype=False)
+    # D rows carry null payload on both paths
+    assert dbz.loc[dbz["op"] == "D", "payload"].isna().all()
+
+
+def test_decode_equality_vs_native(spark, feeds):
+    """The after-image payload (which additionally carries the key fields,
+    as real Debezium does) must decode to exactly the native columns."""
+    native_dir, dbz_dir = feeds
+    a = _decoded(spark, read_feed_batch(spark, native_dir))
+    b = _decoded(spark, read_debezium_batch(spark, dbz_dir))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_wrapped_tombstones_snapshot_variant(spark, tmp_path):
+    """schemas.enable wrapper + Kafka tombstones + snapshot 'r' ops: the
+    adapter unwraps, drops tombstones, and treats r as upsert-I."""
+    spec = FeedSpec(n_events=3_000, n_convs=80, seed=7, chunk_size=1_000)
+    native = str(tmp_path / "n")
+    dbz = str(tmp_path / "d")
+    generate_feed(native, spec)
+    write_debezium_feed(
+        dbz, spec, wrapped=True, tombstones=True, snapshot_rows=200
+    )
+    a = _decoded(spark, read_feed_batch(spark, native))
+    b = _decoded(spark, read_debezium_batch(spark, dbz))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_txn_envelope_passthrough(spark, tmp_path):
+    spec = FeedSpec(n_events=3_000, n_convs=80, seed=13, chunk_size=1_000,
+                    with_txns=True)
+    native = str(tmp_path / "n")
+    dbz = str(tmp_path / "d")
+    generate_feed(native, spec)
+    write_debezium_feed(dbz, spec)
+    nat = read_feed_batch(spark, native, with_txns=True).orderBy("lsn").toPandas()
+    got = read_debezium_batch(spark, dbz, with_txns=True).orderBy("lsn").toPandas()
+    pd.testing.assert_series_equal(nat["txn_id"], got["txn_id"], check_dtype=False)
+
+
+# ------------------------------------------------------------ e2e streaming
+def test_streaming_ingest_with_ddl_equals_native(spark, tmp_path):
+    """Full streaming replay off the Debezium directory — including the DDL
+    timeline arriving as schema-change-topic SQL — lands byte-for-byte the
+    same table as the native feed."""
+    spec = FeedSpec(n_events=10_000, n_convs=200, seed=5, chunk_size=2_500,
+                    with_ddl=True)
+    native = str(tmp_path / "n")
+    dbz = str(tmp_path / "d")
+    generate_feed(native, spec)
+    write_debezium_feed(dbz, spec)
+
+    t_nat = str(tmp_path / "tn")
+    LakehouseTable(t_nat).create(TRANSCRIPT_SCHEMA, n_buckets=8)
+    IngestJob(t_nat, str(tmp_path / "cn")).run_to_completion(
+        spark, native, str(tmp_path / "kn"), max_files_per_trigger=2
+    )
+
+    t_dbz = str(tmp_path / "td")
+    LakehouseTable(t_dbz).create(TRANSCRIPT_SCHEMA, n_buckets=8)
+    job = IngestJob(
+        t_dbz, str(tmp_path / "cd"),
+        stream_reader=read_debezium_stream, batch_reader=read_debezium_batch,
+    )
+    assert job.ddl_fast_scan is False  # custom readers force the exact path
+    job.run_to_completion(spark, dbz, str(tmp_path / "kd"), max_files_per_trigger=2)
+
+    a = (LakehouseTable(t_nat).read(spark).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (LakehouseTable(t_dbz).read(spark).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # DDL actually replicated: renamed + added columns present
+    names = [f.name for f in LakehouseTable(t_dbz).schema_struct().fields]
+    assert "tool_name" in names and "tokens" in names and "tool" not in names
