@@ -357,7 +357,122 @@ def _ddl_to_sql(descriptor: dict, table: str = "transcripts") -> str:
                 f"{_SPARK_TO_SQL.get(descriptor['to'], descriptor['to'])}")
     if a == "drop_column":
         return f"ALTER TABLE {table} DROP COLUMN {descriptor['name']}"
+    if a == "create_table":
+        cols = []
+        for coldef in _split_columns(descriptor["schema"]):
+            name, _, ty = coldef.partition(" ")
+            cols.append(f"{name} {_SPARK_TO_SQL.get(ty.strip(), ty.strip())}")
+        return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
     raise ValueError(f"no SQL form for {a}")
+
+
+@pandas_udf(T.StringType())
+def _descriptor_to_sql_udf(payload: pd.Series) -> pd.Series:
+    """Inverse translation for CDC-out: engine DDL descriptor JSON → SQL
+    text (Arrow-batched; only ever applied to the rare DDL rows)."""
+    def one(p):
+        try:
+            return _ddl_to_sql(json.loads(p))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    return payload.map(one)
+
+
+def envelope_to_debezium(
+    events: DataFrame,
+    connector: str = "data_pipeline_spark",
+    db: str = "lake",
+    schema: str = "public",
+    table: str = "transcripts",
+) -> DataFrame:
+    """CDC-out: canonical change events → Debezium JSON record values, so
+    any Debezium-aware consumer (JDBC sink, search indexer, another team's
+    pipeline) can tail an engine table without speaking the engine's
+    format. Compose with ``changes_to_feed`` (sources/kafka.py) to publish
+    a table's changelog: table → read_changes/stream_changes →
+    changes_to_feed → envelope_to_debezium → Kafka producer records.
+
+    The round trip ``debezium_to_envelope(envelope_to_debezium(e))`` is
+    the identity on (lsn, op, ts at millisecond precision, keys, decoded
+    row image) — pinned by test. DML encoding is pure Catalyst (to_json
+    for the escaped key fields, string splice for the already-JSON
+    payload); DDL rows ride the symmetric descriptor→SQL pandas UDF on
+    their own filtered branch. Works on batch and streaming frames.
+    """
+    lsn = F.col("lsn")
+    ts_ms = F.when(
+        F.col("ts").isNotNull(), (F.unix_micros(F.col("ts")) / 1000).cast("long").cast("string")
+    ).otherwise(F.lit("null"))
+    src = F.concat(
+        F.lit(f'"source":{{"version":"2.5","connector":"{connector}","name":"{connector}",'
+              f'"ts_ms":'), ts_ms,
+        F.lit(f',"db":"{db}","schema":"{schema}","table":"{table}","lsn":'),
+        lsn.cast("string"), F.lit("}"),
+    )
+    txn = (
+        F.when(
+            F.col("txn_id").isNotNull(),
+            F.concat(F.lit(',"transaction":{"id":"'),
+                     F.col("txn_id").cast("string"),
+                     F.lit('","total_order":1}')),
+        ).otherwise(F.lit(""))
+        if "txn_id" in events.columns
+        else F.lit("")
+    )
+    # proper JSON escaping for the key fields comes from to_json; the
+    # payload is already JSON text and splices in verbatim
+    key_json = F.to_json(F.struct(F.col("conv_id"), F.col("turn_idx")))
+    image = F.when(
+        F.col("payload").isNull() | (F.col("payload") == "{}"), key_json
+    ).otherwise(
+        F.concat(
+            F.expr("substring(key_json_tmp, 1, length(key_json_tmp) - 1)"),
+            F.lit(","), F.expr("substring(payload, 2)"),
+        )
+    )
+    is_d = F.col("op") == "D"
+    dml = (
+        events.where(F.col("op") != "DDL")
+        .withColumn("key_json_tmp", key_json)
+        .select(
+            F.concat(
+                F.lit('{"before":'), F.when(is_d, F.col("key_json_tmp")).otherwise(F.lit("null")),
+                F.lit(',"after":'), F.when(is_d, F.lit("null")).otherwise(image),
+                F.lit(","), src,
+                F.lit(',"op":"'),
+                F.when(is_d, F.lit("d")).when(F.col("op") == "U", F.lit("u")).otherwise(F.lit("c")),
+                F.lit('","ts_ms":'), ts_ms, txn, F.lit("}"),
+            ).alias("value")
+        )
+    )
+    # DDL records: every member is scalar, so the whole record builds with
+    # to_json (exact escaping for free); descriptors with no SQL form
+    # (none today) would yield a null ddl member, dropped by the filter.
+    ts_ms_long = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    ddl = (
+        events.where(F.col("op") == "DDL")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.lit("2.5").alias("version"),
+                        F.lit(connector).alias("connector"),
+                        ts_ms_long.alias("ts_ms"),
+                        F.lit(db).alias("db"),
+                        F.lit(schema).alias("schema"),
+                        F.lit(table).alias("table"),
+                        F.col("lsn").alias("lsn"),
+                    ).alias("source"),
+                    ts_ms_long.alias("ts_ms"),
+                    F.lit(db).alias("databaseName"),
+                    _descriptor_to_sql_udf(F.col("payload")).alias("ddl"),
+                )
+            ).alias("value")
+        )
+        .where(F.get_json_object(F.col("value"), "$.ddl").isNotNull())
+    )
+    return dml.unionByName(ddl)
 
 
 def encode_debezium_pandas(

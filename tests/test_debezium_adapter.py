@@ -78,7 +78,7 @@ def test_translate_create_table_and_unreplicable():
 
 
 # ------------------------------------------------------------- adapter body
-SPEC = FeedSpec(n_events=8_000, n_convs=200, seed=11, chunk_size=2_000)
+SPEC = FeedSpec(n_events=5_000, n_convs=150, seed=11, chunk_size=1_250)
 
 
 @pytest.fixture(scope="module")
@@ -146,12 +146,102 @@ def test_txn_envelope_passthrough(spark, tmp_path):
     pd.testing.assert_series_equal(nat["txn_id"], got["txn_id"], check_dtype=False)
 
 
+# --------------------------------------------------------------- CDC-out
+def test_ddl_sql_round_trip_property():
+    from data_pipeline_spark.sources.debezium import _ddl_to_sql
+
+    for d in [
+        {"action": "add_column", "name": "tokens", "type": "int"},
+        {"action": "add_column", "name": "score", "type": "double"},
+        {"action": "rename_column", "old": "tool", "new": "tool_name"},
+        {"action": "widen_type", "name": "turn_idx", "to": "long"},
+        {"action": "drop_column", "name": "legacy"},
+        {"action": "create_table",
+         "schema": "order_id long, status string, amount decimal(10,2)"},
+    ]:
+        assert translate_ddl_sql(_ddl_to_sql(d)) == d, d
+
+
+def test_envelope_round_trip_identity(spark, tmp_path):
+    """debezium_to_envelope ∘ envelope_to_debezium = identity on the
+    envelope (and decode), including DDL descriptors and txn ids."""
+    import json
+
+    from data_pipeline_spark.sources.debezium import (
+        debezium_to_envelope,
+        envelope_to_debezium,
+    )
+
+    spec = FeedSpec(n_events=4_000, n_convs=100, seed=21, chunk_size=1_000,
+                    with_ddl=True, with_txns=True)
+    native = str(tmp_path / "n")
+    generate_feed(native, spec)
+    events = read_feed_batch(spark, native, with_txns=True)
+    back = debezium_to_envelope(
+        envelope_to_debezium(events), with_txns=True
+    ).orderBy("lsn")
+    a = events.orderBy("lsn").toPandas()
+    b = back.toPandas()
+    for c in ("lsn", "op", "ts", "conv_id", "turn_idx"):
+        pd.testing.assert_series_equal(a[c], b[c], check_dtype=False)
+    # txn ids survive on DML; schema-change records carry none (Debezium's
+    # schema topic has no transaction block — a DDL is its own commit, and
+    # the aligner treats null-txn rows as pass-through)
+    dml_mask = a["op"] != "DDL"
+    pd.testing.assert_series_equal(
+        a.loc[dml_mask, "txn_id"], b.loc[dml_mask, "txn_id"], check_dtype=False
+    )
+    assert b.loc[~dml_mask, "txn_id"].isna().all()
+    # DML payloads decode identically; DDL descriptors survive exactly
+    da = _decoded(spark, read_feed_batch(spark, native))
+    db_ = _decoded(spark, back)
+    pd.testing.assert_frame_equal(da, db_, check_dtype=False)
+    ddl_a = [json.loads(p) for p in a.loc[a["op"] == "DDL", "payload"]]
+    ddl_b = [json.loads(p) for p in b.loc[b["op"] == "DDL", "payload"]]
+    assert ddl_a == ddl_b and len(ddl_a) == 3
+
+
+def test_publish_changelog_to_debezium_consumer(spark, tmp_path):
+    """Interop e2e: an engine table's changelog published as Debezium
+    records is ingestible by a downstream engine (or any Debezium-aware
+    sink) and reproduces the table."""
+    from data_pipeline_spark.sources.debezium import (
+        envelope_to_debezium,
+        read_debezium_batch,
+    )
+    from data_pipeline_spark.sources.kafka import changes_to_feed
+
+    spec = FeedSpec(n_events=4_000, n_convs=100, seed=9, chunk_size=2_000)
+    feed = str(tmp_path / "feed")
+    generate_feed(feed, spec)
+    up = str(tmp_path / "up")
+    LakehouseTable(up).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    IngestJob(up, str(tmp_path / "cu")).replay_batch(spark, feed)
+
+    lt = LakehouseTable(up)
+    wire = envelope_to_debezium(changes_to_feed(lt.read_changes(spark, 0)))
+    wire_dir = str(tmp_path / "wire")
+    wire.write.parquet(wire_dir)
+
+    down = str(tmp_path / "down")
+    LakehouseTable(down).create(TRANSCRIPT_SCHEMA, n_buckets=4)
+    raw = read_debezium_batch(spark, wire_dir)
+    IngestJob(down, str(tmp_path / "cd")).apply_batch(spark, 0, raw)
+
+    a = (lt.read(spark).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (LakehouseTable(down).read(spark).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    # table ts rides the payload (changes_to_feed), so it survives too
+    pd.testing.assert_frame_equal(a, b)
+
+
 # ------------------------------------------------------------ e2e streaming
 def test_streaming_ingest_with_ddl_equals_native(spark, tmp_path):
     """Full streaming replay off the Debezium directory — including the DDL
     timeline arriving as schema-change-topic SQL — lands byte-for-byte the
     same table as the native feed."""
-    spec = FeedSpec(n_events=10_000, n_convs=200, seed=5, chunk_size=2_500,
+    spec = FeedSpec(n_events=6_000, n_convs=150, seed=5, chunk_size=1_500,
                     with_ddl=True)
     native = str(tmp_path / "n")
     dbz = str(tmp_path / "d")
