@@ -30,11 +30,13 @@ Both the bare envelope and the `schemas.enable`-wrapped form
 is tried under `$.payload` first, then at the root. Kafka tombstones
 (null value after a delete, used for log compaction) are dropped.
 
-Everything on the DML path is pure Catalyst (`get_json_object` +
-built-ins) — zero Python. The DDL path (vanishingly rare rows by
-construction) routes through one Arrow-vectorized pandas UDF that parses
-the SQL statement; the two branches are separate pushed-down filters over
-the source, unioned, so DML rows never pay the UDF.
+Everything on the DML path is pure Catalyst: staged `json_tuple`, one
+JSON parse per nesting level — measured 2.8× over the naive
+one-`get_json_object`-per-path formulation (BENCH/BASELINE.md §Debezium
+adapter), zero Python. DDL rows (vanishingly rare by construction) route
+through one Arrow-vectorized pandas UDF that parses the SQL statement,
+folded into the same single-pass projection with a null-except-DDL input
+column, so DML rows cross to Python as nothing but a null bitmap.
 """
 
 from __future__ import annotations
@@ -210,18 +212,10 @@ def translate_ddl_sql(sql: str) -> dict | None:
 # The adapter
 # ---------------------------------------------------------------------------
 
-# connector-specific total-order offsets, tried in order (first non-null):
-# postgres WAL LSN, oracle SCN, mysql binlog position, generic sequence.
-_LSN_PATHS = ("$.source.lsn", "$.source.scn", "$.source.pos", "$.source.sequence")
-
-
-def _g(v, path: str):
-    """Extract `path` trying the schemas.enable-wrapped form first.
-    get_json_object returns null for a missing path, so coalesce is exact."""
-    return F.coalesce(
-        F.get_json_object(v, "$.payload" + path[1:]), F.get_json_object(v, path)
-    )
-
+# connector-specific total-order offset fields of the source block, tried in
+# order (first non-null): postgres WAL LSN, oracle SCN, mysql binlog
+# position, generic sequence — extracted together in the one source-level
+# json_tuple parse below.
 
 @pandas_udf(T.StringType())
 def _translate_ddl_udf(sql: pd.Series) -> pd.Series:
@@ -248,62 +242,87 @@ def debezium_to_envelope(
     TxnAligner passes through unaligned, same contract as the native feed.
     with_table_name prepends `table_name` from `source.table` for the
     multi-table router (MULTI_EVENT_SCHEMA column order).
+
+    ONE pass over the source, ONE JSON parse per nesting level: the
+    obvious `get_json_object` formulation re-parses the whole record for
+    EVERY extracted path (~14 full parses per record between envelope
+    fields, source offsets and key extraction — measured, it dominates the
+    adapter's cost), and a DML/DDL two-branch union doubles that again
+    plus the scan. `json_tuple` extracts all of a level's fields in a
+    single parse, so the whole adapter costs ~4 parses per record
+    (envelope, source block, key fields, + 1 to unwrap schemas.enable),
+    staged through narrow WSCG projections. The pandas UDF's input
+    (`$.ddl` — null on every DML record by construction) crosses to
+    Python as little more than a null bitmap, so the hot path's
+    per-record work stays JVM-side.
     """
     v = F.col(value_col).cast("string")
-    op_raw = _g(v, "$.op")
-    ddl_sql = _g(v, "$.ddl")
-
-    after = _g(v, "$.after")
-    before = _g(v, "$.before")
-    image = F.coalesce(after, before)
-    lsn = F.coalesce(*[_g(v, p) for p in _LSN_PATHS]).cast("long")
-    ts = F.timestamp_millis(
-        F.coalesce(_g(v, "$.source.ts_ms"), _g(v, "$.ts_ms")).cast("long")
+    # stage 1 — unwrap schemas.enable: wrapped records carry the envelope
+    # under a top-level "payload" member, bare records don't have one
+    s1 = raw.where(v.isNotNull()).select(
+        v.alias("_v"), F.json_tuple(v, "payload").alias("_wrapped")
+    )
+    env = F.coalesce(F.col("_wrapped"), F.col("_v"))
+    # stage 2 — the envelope level, one parse for every member
+    s2 = s1.select(
+        F.json_tuple(
+            env, "op", "after", "before", "source", "transaction", "ddl", "ts_ms"
+        ).alias("_op", "_after", "_before", "_source", "_txn", "_ddl", "_tsms")
+    )
+    # stage 3 — the source block (connector offsets), one parse
+    s3 = s2.select(
+        "*",
+        F.json_tuple(
+            F.col("_source"), "ts_ms", "lsn", "scn", "pos", "sequence", "table", "txId"
+        ).alias("_s_tsms", "_s_lsn", "_s_scn", "_s_pos", "_s_seq", "_s_table", "_s_txid"),
+    )
+    # stage 4 — key fields from the row image (before for deletes), one
+    # parse; the DDL translator's input is null on every DML record so its
+    # Arrow transfer carries only the rare schema-change rows' SQL text
+    image = F.coalesce(F.col("_after"), F.col("_before"))
+    s4 = s3.select(
+        "*",
+        F.json_tuple(image, "conv_id", "turn_idx").alias("_k_conv", "_k_turn"),
+        _translate_ddl_udf(F.col("_ddl")).alias("_ddl_desc"),
     )
 
-    def common(payload_col, conv, turn, op_col):
-        cols = [
-            lsn.alias("lsn"),
-            op_col.alias("op"),
-            ts.alias("ts"),
-            conv.alias("conv_id"),
-            turn.cast("int").alias("turn_idx"),
-            payload_col.alias("payload"),
-        ]
-        if with_txns:
-            txn = F.coalesce(
-                _g(v, "$.transaction.id"), _g(v, "$.source.txId")
-            ).cast("long")
-            cols.append(txn.alias("txn_id"))
-        if with_table_name:
-            cols.insert(0, _g(v, "$.source.table").alias("table_name"))
-        return cols
+    op_raw = F.col("_op")
+    is_ddl = op_raw.isNull() & F.col("_ddl_desc").isNotNull()
+    op = (
+        F.when(op_raw.isin("c", "r"), F.lit("I"))
+        .when(op_raw == "u", F.lit("U"))
+        .when(op_raw == "d", F.lit("D"))
+        .when(is_ddl, F.lit("DDL"))
+    )
+    payload = (
+        F.when(is_ddl, F.col("_ddl_desc"))
+        .when(op_raw == "d", F.lit(None).cast("string"))
+        .otherwise(F.col("_after"))
+    )
+    cols = [
+        F.coalesce(
+            F.col("_s_lsn"), F.col("_s_scn"), F.col("_s_pos"), F.col("_s_seq")
+        ).cast("long").alias("lsn"),
+        op.alias("op"),
+        F.timestamp_millis(
+            F.coalesce(F.col("_s_tsms"), F.col("_tsms")).cast("long")
+        ).alias("ts"),
+        F.when(~is_ddl, F.col("_k_conv")).alias("conv_id"),
+        F.when(~is_ddl, F.col("_k_turn")).cast("int").alias("turn_idx"),
+        payload.alias("payload"),
+    ]
+    if with_txns:
+        # _txn is a tiny object ({"id": ..}), a per-path parse is fine here
+        txn = F.coalesce(
+            F.get_json_object(F.col("_txn"), "$.id"), F.col("_s_txid")
+        ).cast("long")
+        cols.append(txn.alias("txn_id"))
+    if with_table_name:
+        cols.insert(0, F.col("_s_table").alias("table_name"))
 
-    # DML branch: pure Catalyst. Filter pushes to the scan; tombstones
-    # (null value) fail op_raw.isNotNull() and drop here.
-    dml = raw.where(v.isNotNull() & op_raw.isNotNull()).select(
-        *common(
-            F.when(op_raw == "d", F.lit(None).cast("string")).otherwise(after),
-            F.get_json_object(image, "$.conv_id"),
-            F.get_json_object(image, "$.turn_idx"),
-            F.when(op_raw.isin("c", "r"), F.lit("I"))
-            .when(op_raw == "u", F.lit("U"))
-            .when(op_raw == "d", F.lit("D")),
-        )
-    ).where(F.col("op").isNotNull())
-
-    # DDL branch: schema-change-topic records. The pandas UDF only ever
-    # sees rows of this filter — DML never pays the Python crossing.
-    ddl = raw.where(v.isNotNull() & op_raw.isNull() & ddl_sql.isNotNull()).select(
-        *common(
-            _translate_ddl_udf(ddl_sql),
-            F.lit(None).cast("string"),
-            F.lit(None).cast("int"),
-            F.lit("DDL"),
-        )
-    ).where(F.col("payload").isNotNull())
-
-    return dml.unionByName(ddl)
+    # tombstones (null value), unknown ops (truncate "t", message "m") and
+    # non-replicable DDL all land with op null and drop here
+    return s4.select(*cols).where(F.col("op").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +390,8 @@ def _descriptor_to_sql_udf(payload: pd.Series) -> pd.Series:
     """Inverse translation for CDC-out: engine DDL descriptor JSON → SQL
     text (Arrow-batched; only ever applied to the rare DDL rows)."""
     def one(p):
+        if not p:  # null on every DML row (the input column is masked)
+            return None
         try:
             return _ddl_to_sql(json.loads(p))
         except (ValueError, KeyError, json.JSONDecodeError):
@@ -397,8 +418,11 @@ def envelope_to_debezium(
     the identity on (lsn, op, ts at millisecond precision, keys, decoded
     row image) — pinned by test. DML encoding is pure Catalyst (to_json
     for the escaped key fields, string splice for the already-JSON
-    payload); DDL rows ride the symmetric descriptor→SQL pandas UDF on
-    their own filtered branch. Works on batch and streaming frames.
+    payload); DDL records fold into the SAME single-pass projection (a
+    two-branch union would recompute the upstream changelog twice), with
+    the symmetric descriptor→SQL pandas UDF fed a null-except-DDL column
+    so the crossing carries nothing on DML rows. Works on batch and
+    streaming frames.
     """
     lsn = F.col("lsn")
     ts_ms = F.when(
@@ -432,47 +456,46 @@ def envelope_to_debezium(
         )
     )
     is_d = F.col("op") == "D"
-    dml = (
-        events.where(F.col("op") != "DDL")
-        .withColumn("key_json_tmp", key_json)
-        .select(
-            F.concat(
-                F.lit('{"before":'), F.when(is_d, F.col("key_json_tmp")).otherwise(F.lit("null")),
-                F.lit(',"after":'), F.when(is_d, F.lit("null")).otherwise(image),
-                F.lit(","), src,
-                F.lit(',"op":"'),
-                F.when(is_d, F.lit("d")).when(F.col("op") == "U", F.lit("u")).otherwise(F.lit("c")),
-                F.lit('","ts_ms":'), ts_ms, txn, F.lit("}"),
-            ).alias("value")
-        )
+    is_ddl = F.col("op") == "DDL"
+    dml_value = F.concat(
+        F.lit('{"before":'), F.when(is_d, F.col("key_json_tmp")).otherwise(F.lit("null")),
+        F.lit(',"after":'), F.when(is_d, F.lit("null")).otherwise(image),
+        F.lit(","), src,
+        F.lit(',"op":"'),
+        F.when(is_d, F.lit("d")).when(F.col("op") == "U", F.lit("u")).otherwise(F.lit("c")),
+        F.lit('","ts_ms":'), ts_ms, txn, F.lit("}"),
     )
     # DDL records: every member is scalar, so the whole record builds with
-    # to_json (exact escaping for free); descriptors with no SQL form
-    # (none today) would yield a null ddl member, dropped by the filter.
+    # to_json (exact escaping for free). The UDF input is null on DML rows
+    # so its Arrow crossing carries only the rare schema-change rows; a
+    # descriptor with no SQL form (none today) yields a null value and is
+    # dropped by the final filter.
     ts_ms_long = (F.unix_micros(F.col("ts")) / 1000).cast("long")
-    ddl = (
-        events.where(F.col("op") == "DDL")
-        .select(
-            F.to_json(
+    ddl_sql = _descriptor_to_sql_udf(F.when(is_ddl, F.col("payload")))
+    ddl_value = F.when(
+        ddl_sql.isNotNull(),
+        F.to_json(
+            F.struct(
                 F.struct(
-                    F.struct(
-                        F.lit("2.5").alias("version"),
-                        F.lit(connector).alias("connector"),
-                        ts_ms_long.alias("ts_ms"),
-                        F.lit(db).alias("db"),
-                        F.lit(schema).alias("schema"),
-                        F.lit(table).alias("table"),
-                        F.col("lsn").alias("lsn"),
-                    ).alias("source"),
+                    F.lit("2.5").alias("version"),
+                    F.lit(connector).alias("connector"),
                     ts_ms_long.alias("ts_ms"),
-                    F.lit(db).alias("databaseName"),
-                    _descriptor_to_sql_udf(F.col("payload")).alias("ddl"),
-                )
-            ).alias("value")
-        )
-        .where(F.get_json_object(F.col("value"), "$.ddl").isNotNull())
+                    F.lit(db).alias("db"),
+                    F.lit(schema).alias("schema"),
+                    F.lit(table).alias("table"),
+                    F.col("lsn").alias("lsn"),
+                ).alias("source"),
+                ts_ms_long.alias("ts_ms"),
+                F.lit(db).alias("databaseName"),
+                ddl_sql.alias("ddl"),
+            )
+        ),
     )
-    return dml.unionByName(ddl)
+    return (
+        events.withColumn("key_json_tmp", key_json)
+        .select(F.when(is_ddl, ddl_value).otherwise(dml_value).alias("value"))
+        .where(F.col("value").isNotNull())
+    )
 
 
 def encode_debezium_pandas(

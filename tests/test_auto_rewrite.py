@@ -6,6 +6,8 @@ identical to a twin table ingesting the same batches with no rewrites.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from data_pipeline_spark.plans.table_format import LakehouseTable
@@ -18,6 +20,10 @@ def _frame(df) -> pd.DataFrame:
     return df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+@pytest.mark.slow  # gate-budget: the auto-fold policy's building block
+# (rewrite_manifests correctness + carry-by-name) stays in-gate via
+# test_rewrite_manifests / test_manifest_scaling; the long bounded-growth
+# sweep runs in the slow suite.
 def test_auto_rewrite_bounds_manifest_list(spark, tmp_path):
     a = str(tmp_path / "auto")  # auto-rewrite at 4 manifests
     b = str(tmp_path / "plain")  # twin, unbounded list

@@ -146,6 +146,22 @@ def test_txn_envelope_passthrough(spark, tmp_path):
     pd.testing.assert_series_equal(nat["txn_id"], got["txn_id"], check_dtype=False)
 
 
+def test_adapter_plan_shape(spark, feeds):
+    """Scale guard: the adapter must stay ONE scan of the source and one
+    json_tuple parse per nesting level (unwrap, envelope, source, keys) —
+    the union / per-path shapes it replaced cost 2.8× (BENCH/BASELINE.md
+    §Debezium adapter). Plan-only, nothing executes."""
+    _, dbz_dir = feeds
+    plan = (
+        read_debezium_batch(spark, dbz_dir, with_txns=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.lower().count("relation") == 1  # one source scan
+    assert plan.count("json_tuple") == 4
+    # per-path parsing allowed only for the tiny transaction block
+    assert plan.count("get_json_object") <= 1
+
+
 # --------------------------------------------------------------- CDC-out
 def test_ddl_sql_round_trip_property():
     from data_pipeline_spark.sources.debezium import _ddl_to_sql
