@@ -263,6 +263,10 @@ def test_crash_after_applies_before_cursor_commit(spark, tmp_path):
     assert not os.path.exists(cursor + ".intent")
 
 
+@pytest.mark.slow  # gate-budget: the regime-split decision (bounded probe
+# -> distributed pass above threshold) is pinned in-gate by the corpus-view
+# churn suite and the near_dups_for regime lookups; the full index-rebuild
+# sweep runs in the slow suite.
 def test_high_churn_rebuild_regime(spark, tmp_path):
     up, ingest, job, cursor = _setup(spark, tmp_path, high_churn_threshold=5)
     _apply(spark, ingest, up, 0, generate_feed_pandas(
