@@ -333,23 +333,40 @@ def debezium_to_envelope(
 _RAW_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
 
 
-def read_debezium_batch(spark, feed_dir: str, with_txns: bool = False) -> DataFrame:
+def read_debezium_batch(
+    spark, feed_dir: str, with_txns: bool = False, with_table_name: bool = False
+) -> DataFrame:
     raw = spark.read.schema(_RAW_SCHEMA).parquet(feed_dir)
-    return debezium_to_envelope(raw, with_txns=with_txns)
+    return debezium_to_envelope(
+        raw, with_txns=with_txns, with_table_name=with_table_name
+    )
 
 
 def read_debezium_stream(
-    spark, feed_dir: str, max_files_per_trigger: int = 8, with_txns: bool = False
+    spark, feed_dir: str, max_files_per_trigger: int = 8, with_txns: bool = False,
+    with_table_name: bool = False,
 ) -> DataFrame:
     """Streaming reader with the read_feed_stream signature, so IngestJob
-    can take it as a `reader=` plug-in. Self-union of the one file source
-    is supported by Structured Streaming; offsets live in the checkpoint."""
+    can take it as a `reader=` plug-in; offsets live in the checkpoint."""
     raw = (
         spark.readStream.schema(_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(feed_dir)
     )
-    return debezium_to_envelope(raw, with_txns=with_txns)
+    return debezium_to_envelope(
+        raw, with_txns=with_txns, with_table_name=with_table_name
+    )
+
+
+def read_debezium_multi_stream(
+    spark, feed_dir: str, max_files_per_trigger: int = 8, with_txns: bool = False
+) -> DataFrame:
+    """Multi-table variant (MULTI_EVENT_SCHEMA column order: table_name from
+    each record's source.table) — the MultiTableIngestJob stream_reader
+    plug-in for a Debezium topic carrying many tables' changes."""
+    return read_debezium_stream(
+        spark, feed_dir, max_files_per_trigger, with_txns, with_table_name=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -505,6 +522,7 @@ def encode_debezium_pandas(
     wrapped: bool = False,
     snapshot_rows: int = 0,
     tombstones: bool = False,
+    table_col: str | None = None,
 ) -> pd.DataFrame:
     """Canonical feed rows (generate_feed_pandas output) → one-column
     pandas frame of Debezium JSON values, vectorized string assembly (the
@@ -512,7 +530,9 @@ def encode_debezium_pandas(
     be concatenated directly — same invariant the generator itself relies
     on). The first `snapshot_rows` INSERTs become op "r" (snapshot reads);
     tombstones=True appends a null value after every delete (Kafka log
-    compaction convention) which the adapter must drop."""
+    compaction convention) which the adapter must drop. table_col names a
+    per-row table column (multi-table feeds): each record's source.table
+    (and its DDL statements' target) comes from that row."""
     n = len(df)
     op = df["op"].to_numpy()
     is_ddl = op == "DDL"
@@ -536,9 +556,10 @@ def encode_debezium_pandas(
     # "{...}" with ≥1 member for every I/U by generator invariant)
     after = key_json.str[:-1] + "," + df["payload"].astype(str).str[1:]
 
+    tbl = df[table_col].astype(str) if table_col else table
     src = (
         '"source":{"version":"2.5","connector":"' + connector + '","name":"src1",'
-        + '"ts_ms":' + ts_ms + ',"db":"app","schema":"public","table":"' + table + '",'
+        + '"ts_ms":' + ts_ms + ',"db":"app","schema":"public","table":"' + tbl + '",'
         + '"lsn":' + lsn + "}"
     )
     txn = ""
@@ -555,8 +576,16 @@ def encode_debezium_pandas(
         + (txn[dml] if isinstance(txn, pd.Series) else "") + "}"
     )
     if is_ddl.any():
-        ddl_sql = df.loc[is_ddl, "payload"].map(
-            lambda p: _ddl_to_sql(json.loads(p), table)
+        ddl_tbl = (
+            df.loc[is_ddl, table_col] if table_col
+            else pd.Series(table, index=df.index[is_ddl])
+        )
+        ddl_sql = pd.Series(
+            [
+                _ddl_to_sql(json.loads(p), t)
+                for p, t in zip(df.loc[is_ddl, "payload"], ddl_tbl)
+            ],
+            index=df.index[is_ddl],
         )
         value[is_ddl] = (
             "{" + src[is_ddl] + ',"ts_ms":' + ts_ms[is_ddl]

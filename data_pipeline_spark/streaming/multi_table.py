@@ -290,13 +290,26 @@ class MultiTableIngestJob:
         checkpoint_dir: str,
         max_files_per_trigger: int = 8,
         flush_txns: bool = True,
+        stream_reader=None,  # plug-in reader producing MULTI_EVENT_SCHEMA /
+        # MULTI_TXN_EVENT_SCHEMA order, signature
+        # (spark, feed_dir, max_files_per_trigger, with_txns) — e.g.
+        # sources/debezium.read_debezium_multi_stream adapts a multi-table
+        # Debezium topic directory
     ) -> None:
-        schema = MULTI_TXN_EVENT_SCHEMA if self.aligner is not None else MULTI_EVENT_SCHEMA
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(feed_dir)
-        )
+        if stream_reader is not None:
+            stream = stream_reader(
+                spark, feed_dir, max_files_per_trigger,
+                with_txns=self.aligner is not None,
+            )
+        else:
+            schema = (
+                MULTI_TXN_EVENT_SCHEMA if self.aligner is not None else MULTI_EVENT_SCHEMA
+            )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(feed_dir)
+            )
         q = (
             stream.writeStream.foreachBatch(
                 lambda df, bid: self.apply_batch(df.sparkSession, int(bid), df)
