@@ -20,6 +20,7 @@ Run via plain `python` or `spark-submit --py-files dist/data_pipeline_spark.zip`
     python scripts/maintenance.py --table <path> drop-branch --name audit
     python scripts/maintenance.py --table <path> cherry-pick --snapshot-id 17
     python scripts/maintenance.py --table <path> fsck [--deep]
+    python scripts/maintenance.py --table <path> clone --dest <path> [--tag corpus-v1 | --snapshot-id 17]
     python scripts/maintenance.py --table <path> corpus-export --out /corpora/v1 --tag corpus-v1
     python scripts/maintenance.py --table <path> corpus-delta --out /corpora/deltas --cursor /corpora/cursor.json
     python scripts/maintenance.py --table <path> --ref audit status
@@ -144,6 +145,13 @@ def main() -> None:
     db.add_argument("--name", required=True)
     cp = sub.add_parser("cherry-pick")
     cp.add_argument("--snapshot-id", type=int, required=True)
+    cl = sub.add_parser("clone", help="consistent snapshot clone (backup/"
+                        "restore/dev-fork): one snapshot's closed file set "
+                        "+ fresh hint, deep-fsck'd; fully functional table")
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--snapshot-id", type=int, default=None)
+    cl.add_argument("--tag", default=None)
+    cl.add_argument("--no-verify", action="store_true")
     fs = sub.add_parser("fsck", help="metadata/data consistency check "
                         "(refs, snapshots, manifests, files, orphans); "
                         "--deep cross-checks manifest stats vs footers")
@@ -154,6 +162,15 @@ def main() -> None:
     from data_pipeline_spark.plans.table_format import LakehouseTable
 
     table = LakehouseTable(args.table, ref=args.ref)
+
+    if args.cmd == "clone":
+        from data_pipeline_spark.plans.clone import clone_snapshot
+
+        print(json.dumps(clone_snapshot(
+            table, args.dest, snapshot_id=args.snapshot_id, tag=args.tag,
+            verify=not args.no_verify,
+        ), default=str))
+        return
 
     if args.cmd == "fsck":
         from data_pipeline_spark.plans.fsck import fsck
