@@ -152,6 +152,10 @@ def main() -> None:
     cl.add_argument("--snapshot-id", type=int, default=None)
     cl.add_argument("--tag", default=None)
     cl.add_argument("--no-verify", action="store_true")
+    cl.add_argument("--reference-clone", default=None,
+                    help="previous clone of this table: unchanged data "
+                         "files hardlink instead of copy (incremental "
+                         "backup — the increment costs only the churn)")
     fs = sub.add_parser("fsck", help="metadata/data consistency check "
                         "(refs, snapshots, manifests, files, orphans); "
                         "--deep cross-checks manifest stats vs footers")
@@ -168,7 +172,7 @@ def main() -> None:
 
         print(json.dumps(clone_snapshot(
             table, args.dest, snapshot_id=args.snapshot_id, tag=args.tag,
-            verify=not args.no_verify,
+            verify=not args.no_verify, reference_clone=args.reference_clone,
         ), default=str))
         return
 

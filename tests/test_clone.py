@@ -105,6 +105,35 @@ def test_clone_continues_ingesting(spark, tmp_path, table):
     assert fsck(LakehouseTable(dest), deep=True)["ok"]
 
 
+def test_incremental_clone_hardlinks_unchanged(spark, tmp_path, table):
+    """Daily-backup pattern: a second clone with reference_clone= copies
+    only the files new since the first — everything else hardlinks; the
+    increment stays self-contained after the reference is deleted."""
+    import shutil
+
+    bk1 = str(tmp_path / "bk1")
+    r1 = clone_snapshot(table, bk1)
+    assert r1["hardlinked"] == 0
+
+    feed = generate_feed_pandas(FeedSpec(n_events=800, n_convs=120, seed=31))
+    feed["lsn"] += table.current_snapshot()["watermark_lsn"]
+    IngestJob(table.path, str(tmp_path / "ctl3")).apply_batch(
+        spark, 99, spark.createDataFrame(feed, schema=CHANGE_EVENT_SCHEMA)
+    )
+
+    bk2 = str(tmp_path / "bk2")
+    r2 = clone_snapshot(table, bk2, reference_clone=bk1)
+    assert r2["hardlinked"] > 0  # unchanged files linked, not copied
+    assert r2["bytes"] < r1["bytes"]  # only the day's churn cost space
+    expected = _pd(spark, table.path)
+    pd.testing.assert_frame_equal(expected, _pd(spark, bk2))
+
+    # the increment survives deletion of its reference (hardlinks keep bytes)
+    shutil.rmtree(bk1)
+    assert fsck(LakehouseTable(bk2), deep=True)["ok"]
+    pd.testing.assert_frame_equal(expected, _pd(spark, bk2))
+
+
 def test_clone_refuses_nonempty_dest_and_unknown_tag(tmp_path, table):
     dest = str(tmp_path / "clone")
     os.makedirs(dest)
