@@ -50,16 +50,6 @@ def _multi_feed():
     return feed[["table_name", "lsn", "op", "ts", "conv_id", "turn_idx", "payload"]]
 
 
-def _write_native(feed, fdir, n=4):
-    os.makedirs(fdir)
-    step = (len(feed) + n - 1) // n
-    for c in range(n):
-        feed.iloc[c * step: (c + 1) * step].to_parquet(
-            os.path.join(fdir, f"chunk-{c:06d}.parquet"), index=False,
-            coerce_timestamps="us", allow_truncated_timestamps=True,
-        )
-
-
 def _write_debezium(feed, fdir, n=4):
     os.makedirs(fdir)
     values = encode_debezium_pandas(feed, table_col="table_name")
@@ -87,24 +77,46 @@ def _run(spark, tmp_path, fdir, label, stream_reader=None):
     return root, job
 
 
-def test_multi_table_debezium_equals_native(spark, tmp_path):
+def test_multi_table_debezium_matches_oracle(spark, tmp_path):
+    """The Debezium arm is checked against an INDEPENDENT DuckDB oracle
+    over the raw (pre-encoding) feed — the same reducer
+    test_multitable_create pins the native reader with, so native ≡ oracle
+    ≡ debezium without paying a second streaming run; single-table
+    native-vs-debezium byte equality lives in test_debezium_adapter."""
+    import duckdb
+
     feed = _multi_feed()
-    native_dir = str(tmp_path / "native")
     dbz_dir = str(tmp_path / "dbz")
-    _write_native(feed, native_dir)
     _write_debezium(feed, dbz_dir)
 
-    nat_root, _ = _run(spark, tmp_path, native_dir, "nat")
     dbz_root, job = _run(
         spark, tmp_path, dbz_dir, "dbz", stream_reader=read_debezium_multi_stream
     )
 
     # the mid-feed CREATE TABLE replicated through the SQL round trip
     assert "agents" in job.jobs and "agents" in job.active
+    con = duckdb.connect()
+    con.register("feed", feed)
     for name in ("chats", "agents"):
-        a = (LakehouseTable(os.path.join(nat_root, name)).read(spark).toPandas()
-             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
-        b = (LakehouseTable(os.path.join(dbz_root, name)).read(spark).toPandas()
-             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
-        pd.testing.assert_frame_equal(a, b)
-        assert len(b) > 0
+        oracle = con.execute(
+            """
+            WITH ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM feed WHERE table_name = ? AND op != 'DDL'
+            )
+            SELECT conv_id, turn_idx,
+                   json_extract_string(payload, '$.text') AS text
+            FROM ranked WHERE rn = 1 AND op != 'D'
+            ORDER BY conv_id, turn_idx
+            """,
+            [name],
+        ).df()
+        actual = (
+            LakehouseTable(os.path.join(dbz_root, name)).read(spark).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        assert len(actual) > 0
+        assert actual["conv_id"].tolist() == oracle["conv_id"].tolist()
+        assert actual["turn_idx"].tolist() == [int(t) for t in oracle["turn_idx"]]
+        assert actual["text"].tolist() == oracle["text"].tolist()
