@@ -253,3 +253,12 @@ def test_production_day_everything_at_once(spark, tmp_path):
         scratch_sig.select(sig_cols).toPandas()
         .sort_values("conv_id").reset_index(drop=True),
     )
+
+    # --- after the whole day (crashes, GC, migration, WAP, compaction),
+    # every table's metadata tree deep-fscks clean (round 5)
+    from data_pipeline_spark.plans.fsck import fsck
+
+    for label, path in (("hub", t.path), ("index-sig", dix.sig.path),
+                        ("index-bands", dix.bands.path)):
+        rep = fsck(LakehouseTable(path), deep=True)
+        assert rep["ok"], f"{label}: {rep['errors'][:5]}"

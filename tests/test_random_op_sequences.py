@@ -164,6 +164,14 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
             tbl.tag_snapshot("anchor")  # keep it through op_tag_expire
             pinned = (sid, _read_state(spark, tbl))
 
+    # I0 — whatever the schedule did, the metadata tree is consistent:
+    # every ref/manifest/file resolves and every recorded stat bound
+    # contains its file's footer range (fsck deep, round 5)
+    from data_pipeline_spark.plans.fsck import fsck
+
+    report = fsck(tbl, deep=True)
+    assert report["ok"], f"seed {seed}: fsck errors {report['errors'][:5]}"
+
     # I1 — final state equals the oracle of exactly the applied chunks
     oracle = reduce_feed(pd.concat(applied, ignore_index=True))
     final = _read_state(spark, tbl)
