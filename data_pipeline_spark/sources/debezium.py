@@ -320,9 +320,21 @@ def debezium_to_envelope(
     if with_table_name:
         cols.insert(0, F.col("_s_table").alias("table_name"))
 
-    # tombstones (null value), unknown ops (truncate "t", message "m") and
-    # non-replicable DDL all land with op null and drop here
-    return s4.select(*cols).where(F.col("op").isNotNull())
+    # tombstones (null value), unknown ops (truncate "t", message "m"),
+    # non-replicable DDL, and broken/alien JSON all land with op null and
+    # drop here. Structurally-valid records MISSING what ordering needs —
+    # no recognisable source offset, or a DML row without its merge key —
+    # are equally unusable (a row that cannot be ordered cannot
+    # participate in LWW, and a null lsn would otherwise be silently
+    # swallowed by the watermark filter downstream, which reads as data
+    # loss with no trace): the standard Debezium-consumer stance is
+    # skip-and-continue, so they drop at this single audited filter
+    # rather than scattered downstream.
+    valid = F.col("lsn").isNotNull() & (
+        (F.col("op") == "DDL")
+        | (F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    )
+    return s4.select(*cols).where(F.col("op").isNotNull() & valid)
 
 
 # ---------------------------------------------------------------------------

@@ -101,7 +101,14 @@ def maxwell_to_envelope(
         cols.append(F.col("_xid").cast("long").alias("txn_id"))
     if with_table_name:
         cols.insert(0, F.col("_table").alias("table_name"))
-    return s2.select(*cols).where(F.col("op").isNotNull())
+    # same skip-and-continue contract as the Debezium adapter: unknown
+    # types / broken JSON (op null), and structurally-valid records with
+    # no usable order (null lsn) or a key-less DML row, drop at one filter
+    valid = F.col("lsn").isNotNull() & (
+        (F.col("op") == "DDL")
+        | (F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    )
+    return s2.select(*cols).where(F.col("op").isNotNull() & valid)
 
 
 def read_maxwell_batch(

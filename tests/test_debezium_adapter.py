@@ -162,6 +162,40 @@ def test_adapter_plan_shape(spark, feeds):
     assert plan.count("get_json_object") <= 1
 
 
+def test_malformed_records_skip_and_continue(spark):
+    """Real topics contain junk. The adapter's contract: NEVER throw;
+    broken JSON / alien types / tombstones / unknown ops drop, and
+    structurally-valid records that cannot be ordered (no source offset)
+    or lack their merge key drop at the single audited filter — only
+    fully-usable envelope rows come out."""
+    from data_pipeline_spark.sources.debezium import debezium_to_envelope
+    from data_pipeline_spark.sources.maxwell import maxwell_to_envelope
+
+    good = ('{"after":{"conv_id":"c1","turn_idx":1,"text":"t"},"op":"c",'
+            '"source":{"ts_ms":1000,"lsn":5}}')
+    junk = [
+        '{"after":{"conv_id":"c2","turn_idx":1},"op":"c","source":{"ts_ms":1}}',  # no offset
+        '{"before":null,"after":null,"op":"c","source":{"lsn":9}}',  # keyless DML
+        '{"op":"c"}', "{ not json", '{"op":5,"after":{}}', "[1,2,3]",
+        '"just a string"', "", None, '{"op":"t","source":{"lsn":3}}',  # truncate
+    ]
+    df = spark.createDataFrame([(v,) for v in [good] + junk], "value string")
+    out = debezium_to_envelope(df).collect()
+    assert len(out) == 1 and out[0].lsn == 5 and out[0].op == "I"
+
+    m_good = ('{"table":"transcripts","type":"insert","ts":1000,"xid":7,'
+              '"position":"binlog.000001:10",'
+              '"data":{"conv_id":"c1","turn_idx":1,"text":"t"}}')
+    m_junk = [
+        '{"type":"insert","ts":1,"data":{"conv_id":"c","turn_idx":1}}',  # no position/xid
+        '{"type":"insert","ts":1,"xid":3,"data":{}}',  # keyless
+        '{"type":"ddl-noise"}', "{bad", "", None,
+    ]
+    mdf = spark.createDataFrame([(v,) for v in [m_good] + m_junk], "value string")
+    mout = maxwell_to_envelope(mdf).collect()
+    assert len(mout) == 1 and mout[0].op == "I" and mout[0].lsn == (1 << 32) + 10
+
+
 # --------------------------------------------------------------- CDC-out
 def test_ddl_sql_round_trip_property():
     from data_pipeline_spark.sources.debezium import _ddl_to_sql
